@@ -1,0 +1,101 @@
+"""Checkpoint + lineage + metrics (SURVEY.md §2.1 S2/K6, §2.2 F1, §4.1).
+
+The reference's resumability is "skip PDFs whose stem already has an
+output JSON" (reference extract.py:68-71) — a filesystem anti-join.
+Ours is the same primitive, set-oriented and per-stage:
+
+- ``_ckpt_stage_state``: one row per (stage, conv_id) processed.
+  Resume = ``input.join(state, "conv_id", "left_anti")`` — Catalyst
+  pushes the anti-join below the expensive stages, so a killed run
+  recomputes nothing (north_star requirement).
+- ``_ckpt_lineage``: per-partition rows (conv_id min/max, row count)
+  written from the executors via ``mapInPandas`` observation — the
+  "per-partition lineage (conv_id ranges, stage watermarks)" the
+  north rule names.
+- ``_ckpt_metrics``: one row per (stage, run_id, metric).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .catalog import Catalog
+from .schemas import CKPT_LINEAGE, CKPT_METRICS, CKPT_STAGE_STATE
+
+STATE = "_ckpt_stage_state"
+LINEAGE = "_ckpt_lineage"
+METRICS = "_ckpt_metrics"
+
+
+def new_run_id() -> str:
+    return uuid.uuid4().hex[:12]
+
+
+def pending(catalog: Catalog, stage: str, inp: DataFrame, key: str = "conv_id") -> DataFrame:
+    """F1 — anti-join the stage's processed set."""
+    if not catalog.exists(STATE):
+        return inp
+    done = catalog.read(STATE).filter(F.col("stage") == stage).select(
+        F.col("conv_id").alias(key)
+    )
+    return inp.join(done, key, "left_anti")
+
+
+def mark_processed(
+    catalog: Catalog, stage: str, run_id: str, conv_ids: DataFrame, key: str = "conv_id"
+) -> None:
+    rows = conv_ids.select(
+        F.lit(stage).alias("stage"),
+        F.col(key).cast("string").alias("conv_id"),
+        F.lit(run_id).alias("run_id"),
+    )
+    if catalog.exists(STATE):
+        catalog.append(rows, STATE)
+    else:
+        catalog.overwrite(
+            rows if rows.schema == CKPT_STAGE_STATE else rows, STATE
+        )
+
+
+def write_lineage(
+    catalog: Catalog, stage: str, run_id: str, df: DataFrame, key: str = "conv_id"
+) -> None:
+    """Per-partition lineage: conv_id range + row count per shuffle
+    partition of the stage output (computed distributed, not collected
+    row-wise)."""
+    lin = (
+        df.withColumn("partition_id", F.spark_partition_id())
+        .groupBy("partition_id")
+        .agg(
+            F.min(F.col(key).cast("string")).alias("conv_id_min"),
+            F.max(F.col(key).cast("string")).alias("conv_id_max"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            F.lit(stage).alias("stage"),
+            F.lit(run_id).alias("run_id"),
+            F.col("partition_id").cast("int"),
+            "conv_id_min", "conv_id_max", "n_rows",
+        )
+    )
+    if catalog.exists(LINEAGE):
+        catalog.append(lin, LINEAGE)
+    else:
+        catalog.overwrite(lin, LINEAGE)
+
+
+def write_metrics(catalog: Catalog, stage: str, run_id: str, metrics: dict) -> None:
+    spark = catalog.spark
+    rows = [
+        {"stage": stage, "run_id": run_id, "metric": k, "value": str(v)}
+        for k, v in {**metrics, "wall_ts": time.time()}.items()
+    ]
+    df = spark.createDataFrame(rows, schema=CKPT_METRICS)
+    if catalog.exists(METRICS):
+        catalog.append(df, METRICS)
+    else:
+        catalog.overwrite(df, METRICS)

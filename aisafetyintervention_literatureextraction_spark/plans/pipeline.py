@@ -1,0 +1,177 @@
+"""End-to-end KG-construction pipeline driver (SURVEY.md §3, §7).
+
+Five declarative stages over catalog tables, each a pure
+``table → table`` function, each checkpointed with lineage + metrics
+so a killed run resumes without recomputation:
+
+    transcripts ──A──> documents (+ quarantine)
+    documents ───B──> triples_raw + nodes_raw
+    nodes_raw ───C──> node_pairs → components
+    (all) ───────D──> kg_nodes + kg_edges (+ dangling)
+
+Designed to be submitted as ``spark-submit --py-files kgspark.zip
+-m aisafetyintervention_literatureextraction_spark.plans.pipeline``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import checkpoint as ckpt
+from ..catalog import Catalog
+from ..operators.canonicalize import candidate_nodes, similarity_edges, with_node_text
+from ..operators.components import connected_components
+from ..operators.extraction import extract_nodes, extract_triples
+from ..operators.materialize import materialize
+from ..operators.reassembly import reassemble
+from ..session import get_spark
+
+
+@dataclass
+class PipelineConfig:
+    warehouse: str
+    extract_engine: str = "arrow"          # "arrow" | "sql"
+    salt_segment: int = 4096
+    jaccard_threshold: float = 0.5
+    cosine_threshold: float = 0.6
+    resume: bool = True
+
+
+def stage_a_reassemble(cat: Catalog, transcripts: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    run_id = ckpt.new_run_id()
+    t0 = time.time()
+    inp = ckpt.pending(cat, "A_reassemble", transcripts) if cfg.resume else transcripts
+    res = reassemble(inp, salt_segment=cfg.salt_segment)
+    docs = res.documents
+    if cat.exists("documents"):
+        cat.append(docs, "documents")
+    else:
+        cat.overwrite(docs, "documents")
+    if cat.exists("quarantine") or res.quarantine.limit(1).count() > 0:
+        if cat.exists("quarantine"):
+            cat.append(res.quarantine, "quarantine")
+        else:
+            cat.overwrite(res.quarantine, "quarantine")
+    out = cat.read("documents")
+    processed = docs.select("conv_id").union(res.quarantine.select("conv_id")).distinct()
+    ckpt.mark_processed(cat, "A_reassemble", run_id, processed)
+    ckpt.write_lineage(cat, "A_reassemble", run_id, out)
+    ckpt.write_metrics(cat, "A_reassemble", run_id, {
+        "n_documents": out.count(), "wall_s": time.time() - t0,
+    })
+    return out
+
+
+def stage_b_extract(cat: Catalog, cfg: PipelineConfig) -> tuple[DataFrame, DataFrame]:
+    run_id = ckpt.new_run_id()
+    t0 = time.time()
+    docs = cat.read("documents")
+    pending_docs = ckpt.pending(cat, "B_extract", docs) if cfg.resume else docs
+    pending_docs = pending_docs.persist()
+    triples = extract_triples(pending_docs, engine=cfg.extract_engine)
+    nodes = extract_nodes(pending_docs, engine=cfg.extract_engine)
+    for name, df in [("triples_raw", triples), ("nodes_raw", nodes)]:
+        if cat.exists(name):
+            cat.append(df, name)
+        else:
+            cat.overwrite(df, name)
+    ckpt.mark_processed(cat, "B_extract", run_id, pending_docs.select("conv_id"))
+    triples_all = cat.read("triples_raw")
+    ckpt.write_lineage(cat, "B_extract", run_id, triples_all)
+    n_triples = triples_all.count()
+    ckpt.write_metrics(cat, "B_extract", run_id, {
+        "n_triples": n_triples, "wall_s": time.time() - t0,
+        "triples_per_sec": n_triples / max(time.time() - t0, 1e-9),
+    })
+    pending_docs.unpersist()
+    return cat.read("triples_raw"), cat.read("nodes_raw")
+
+
+def stage_c_canonicalize(cat: Catalog, cfg: PipelineConfig) -> DataFrame:
+    """Canonicalization is global (any new conv can merge any two old
+    nodes), so it recomputes over all nodes_raw — but from compact
+    candidate-node inputs, not raw transcripts."""
+    run_id = ckpt.new_run_id()
+    t0 = time.time()
+    nodes_raw = cat.read("nodes_raw")
+    nodes, edges = similarity_edges(
+        nodes_raw,
+        jaccard_threshold=cfg.jaccard_threshold,
+        cosine_threshold=cfg.cosine_threshold,
+    )
+    nodes = nodes.persist()
+    cat.overwrite(edges, "node_pairs")
+    comps = connected_components(nodes.select("node_id"), cat.read("node_pairs"))
+    cat.overwrite(comps, "components")
+    cat.overwrite(nodes, "candidate_nodes")
+    n_pairs = cat.read("node_pairs").count()
+    ckpt.write_metrics(cat, "C_canonicalize", run_id, {
+        "n_candidate_pairs": n_pairs, "wall_s": time.time() - t0,
+    })
+    nodes.unpersist()
+    return comps
+
+
+def stage_d_materialize(cat: Catalog, cfg: PipelineConfig):
+    run_id = ckpt.new_run_id()
+    t0 = time.time()
+    g = materialize(
+        cat.read("candidate_nodes"),
+        cat.read("triples_raw"),
+        cat.read("components"),
+    )
+    cat.overwrite(g.nodes, "kg_nodes")
+    cat.overwrite(g.edges, "kg_edges")
+    cat.overwrite(g.dangling, "dangling")
+    ckpt.write_lineage(cat, "D_materialize", run_id, cat.read("kg_edges"), key="pred")
+    ckpt.write_metrics(cat, "D_materialize", run_id, {
+        "n_kg_nodes": cat.read("kg_nodes").count(),
+        "n_kg_edges": cat.read("kg_edges").count(),
+        "wall_s": time.time() - t0,
+    })
+    return g
+
+
+def run_pipeline(
+    spark: SparkSession, transcripts: DataFrame, warehouse: str, **kwargs
+) -> dict:
+    cfg = PipelineConfig(warehouse=warehouse, **kwargs)
+    cat = Catalog(spark, warehouse)
+    t0 = time.time()
+    stage_a_reassemble(cat, transcripts, cfg)
+    stage_b_extract(cat, cfg)
+    stage_c_canonicalize(cat, cfg)
+    stage_d_materialize(cat, cfg)
+    wall = time.time() - t0
+    n_triples = cat.read("triples_raw").count()
+    return {
+        "wall_s": wall,
+        "n_triples": n_triples,
+        "triples_per_sec": n_triples / wall,
+        "n_kg_nodes": cat.read("kg_nodes").count(),
+        "n_kg_edges": cat.read("kg_edges").count(),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--transcripts", required=True, help="parquet path of transcripts")
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--engine", default="arrow")
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args()
+    spark = get_spark("kg-pipeline", cpus=args.cpus)
+    from ..sources.transcripts import read_transcripts
+
+    transcripts = read_transcripts(spark, args.transcripts)
+    stats = run_pipeline(spark, transcripts, args.warehouse, extract_engine=args.engine)
+    print(stats)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,53 @@
+"""G5 tests — connected components vs known closures; CC is the
+order-independent closure of the reference's sequential pairwise merge
+(reference merge.py:107-109 / db.py:106-155)."""
+
+import pyspark.sql.functions as F
+
+
+from aisafetyintervention_literatureextraction_spark.operators.components import (
+    connected_components,
+)
+
+
+def _cc(spark, n_nodes, edge_list):
+    v = spark.createDataFrame([(i,) for i in n_nodes], "node_id long")
+    e = spark.createDataFrame(edge_list or [(0, 0)], "a_id long, b_id long")
+    if not edge_list:
+        e = e.limit(0)
+    comps = connected_components(v, e)
+    out = {}
+    for r in comps.collect():
+        out.setdefault(r["component_id"], set()).add(r["node_id"])
+    return sorted(sorted(s) for s in out.values())
+
+
+def test_two_components(spark):
+    got = _cc(spark, range(6), [(0, 1), (1, 2), (3, 4)])
+    assert got == [[0, 1, 2], [3, 4], [5]]
+
+
+def test_chain_closure_transitive(spark):
+    """A–B and B–C pairs ⇒ one {A,B,C} component — the transitive
+    closure the reference's sequential merge only reaches when pair
+    order is lucky (stale-id hazard, SURVEY.md §2.9)."""
+    got = _cc(spark, range(3), [(0, 1), (1, 2)])
+    assert got == [[0, 1, 2]]
+
+
+def test_long_path_converges(spark):
+    n = 33
+    got = _cc(spark, range(n), [(i, i + 1) for i in range(n - 1)])
+    assert got == [list(range(n))]
+
+
+def test_no_edges_identity(spark):
+    got = _cc(spark, range(4), [])
+    assert got == [[0], [1], [2], [3]]
+
+
+def test_component_id_is_min_node(spark):
+    v = spark.createDataFrame([(10,), (7,), (3,)], "node_id long")
+    e = spark.createDataFrame([(10, 7), (7, 3)], "a_id long, b_id long")
+    comps = connected_components(v, e)
+    assert {r["component_id"] for r in comps.collect()} == {3}

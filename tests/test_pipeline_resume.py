@@ -1,0 +1,101 @@
+"""End-to-end pipeline + resume tests (north_star: killed run resumes
+without recomputation; F1 anti-join checkpoint pattern)."""
+
+import pyspark.sql.functions as F
+
+from aisafetyintervention_literatureextraction_spark import checkpoint as ckpt
+from aisafetyintervention_literatureextraction_spark.catalog import Catalog
+from aisafetyintervention_literatureextraction_spark.datagen import GOLDEN_TRIPLES
+from aisafetyintervention_literatureextraction_spark.plans.pipeline import run_pipeline
+
+
+def test_pipeline_end_to_end(spark, corpus, warehouse):
+    df, expected = corpus
+    stats = run_pipeline(spark, df, warehouse)
+    cat = Catalog(spark, warehouse)
+
+    # correctness gate: triples P/R ≥ 0.95
+    got = set(
+        map(tuple,
+            cat.read("triples_raw")
+            .select("conv_id", "subj", "pred", "obj", "edge_confidence").collect())
+    )
+    exp = set(
+        (t["conv_id"], t["subj"], t["pred"], t["obj"], t["edge_confidence"])
+        for t in expected.triples
+    )
+    tp = len(got & exp)
+    assert tp / max(len(got), 1) >= 0.95
+    assert tp / max(len(exp), 1) >= 0.95
+
+    # golden triples survive to the kg level through canonicalization
+    kgn = cat.read("kg_nodes").collect()
+    name2id = {}
+    for r in kgn:
+        name2id[r["canonical_name"]] = r["node_id"]
+        for a in r["aliases"]:
+            name2id.setdefault(a, r["node_id"])
+    kge = {(r["src"], r["pred"], r["dst"]) for r in cat.read("kg_edges").collect()}
+    for s, p, o, _ in GOLDEN_TRIPLES:
+        assert (name2id[s], p, name2id[o]) in kge, f"golden edge lost: {s} -{p}-> {o}"
+
+    # checkpoint artifacts exist
+    assert cat.exists(ckpt.STATE) and cat.exists(ckpt.LINEAGE) and cat.exists(ckpt.METRICS)
+    assert stats["n_triples"] == len(got)
+
+
+def test_resume_skips_processed(spark, corpus, warehouse):
+    """Run stage A+B on half the corpus, then on the full corpus — the
+    second run recomputes only the unprocessed conversations, and the
+    final tables equal a from-scratch run."""
+    df, _ = corpus
+    cat = Catalog(spark, warehouse)
+    convs = sorted(r["conv_id"] for r in df.select("conv_id").distinct().collect())
+    half = set(convs[: len(convs) // 2])
+
+    from aisafetyintervention_literatureextraction_spark.plans.pipeline import (
+        PipelineConfig,
+        stage_a_reassemble,
+        stage_b_extract,
+    )
+    cfg = PipelineConfig(warehouse=warehouse)
+
+    first = df.filter(F.col("conv_id").isin(half))
+    stage_a_reassemble(cat, first, cfg)
+    stage_b_extract(cat, cfg)
+    n_docs_first = cat.read("documents").count()
+
+    # resume with the FULL input: already-processed convs are anti-joined away
+    stage_a_reassemble(cat, df, cfg)
+    stage_b_extract(cat, cfg)
+
+    docs = cat.read("documents")
+    assert docs.count() == docs.select("conv_id").distinct().count()
+    assert docs.count() > n_docs_first
+
+    triples = cat.read("triples_raw")
+    # equality with a from-scratch run
+    import tempfile, shutil
+    wh2 = tempfile.mkdtemp(prefix="kgwh2_")
+    try:
+        cat2 = Catalog(spark, wh2)
+        stage_a_reassemble(cat2, df, cfg)
+        stage_b_extract(cat2, cfg)
+        cols = ["conv_id", "chain_id", "edge_idx", "subj", "pred", "obj", "edge_confidence"]
+        assert sorted(map(tuple, triples.select(cols).collect())) == sorted(
+            map(tuple, cat2.read("triples_raw").select(cols).collect())
+        )
+    finally:
+        shutil.rmtree(wh2, ignore_errors=True)
+
+
+def test_lineage_and_metrics_rows(spark, corpus, warehouse):
+    df, _ = corpus
+    run_pipeline(spark, df, warehouse)
+    cat = Catalog(spark, warehouse)
+    lin = cat.read(ckpt.LINEAGE)
+    assert lin.filter(F.col("stage") == "A_reassemble").count() > 0
+    assert {"conv_id_min", "conv_id_max", "n_rows"}.issubset(set(lin.columns))
+    met = cat.read(ckpt.METRICS)
+    stages = {r["stage"] for r in met.select("stage").distinct().collect()}
+    assert {"A_reassemble", "B_extract", "C_canonicalize", "D_materialize"}.issubset(stages)
