@@ -1,38 +1,688 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps SURVEY.md §2 operator ids onto the driver-provided
+neutral tables (region nation customer supplier part orders lineitem
+events documents embeddings); each has a DuckDB ``oracle_sql()`` twin
+with IDENTICAL column names/types. Float-valued outputs are either
+integer-derived (exact in both engines) or rounded after identical
+element-order arithmetic; similarity queries emit rank/ids only.
+
+Engine-specific internals (xxhash64 minhash/simhash buckets) are
+exposed as rows-only queries (no oracle entry — the driver records
+the weaker check, per the contract docstring).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from aisafetyintervention_literatureextraction_spark.functions.text import (
+    node_text,
+    snake_case,
+)
+from aisafetyintervention_literatureextraction_spark.operators.canonicalize import (
+    candidate_nodes,
+)
+from aisafetyintervention_literatureextraction_spark.operators.components import (
+    connected_components,
+)
+from aisafetyintervention_literatureextraction_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+)
+from aisafetyintervention_literatureextraction_spark.operators.reassembly import (
+    reassemble,
+)
+from aisafetyintervention_literatureextraction_spark.operators.similarity import (
+    cosine,
+    lsh_topk,
+)
+from aisafetyintervention_literatureextraction_spark.operators.textstats import (
+    language_id,
+    quality_features,
+)
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+TOK_RE = r"[^a-z0-9_\-\.]+"
+VOCAB = ["spark", "table", "query", "join", "window", "stream"]
+_VOCAB_SQL = ", ".join(f"'{v}'" for v in VOCAB)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically derive a transcripts-shaped table from the
+    neutral `events` table: one conversation per user, turns ordered
+    by (ts, event_id) — lets the oracle check the W3 reassembly
+    operator on driver data."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("event_type").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def q_w3_reassembly(spark, sf_dir):
+    """W3 — salted sort-within-group document reassembly (Stage A)."""
+    tr = _events_as_transcripts(spark, sf_dir)
+    docs = reassemble(tr, salt_segment=64).documents
+    return docs.select("conv_id", "n_turns", "doc_text")
+
+
+def q_f1_resume_antijoin(spark, sf_dir):
+    """F1/J4 — resume anti-join: orders from customers outside a set."""
+    orders = _t(spark, sf_dir, "orders")
+    done = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select(F.col("c_custkey").alias("o_custkey"))
+    return orders.join(done, "o_custkey", "left_anti").select("o_orderkey")
+
+
+def q_f2_head_limit(spark, sf_dir):
+    """F2/O1/O3 — deterministic ordered head-N."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(10)
+        .select("doc_id", "n_chars")
+    )
+
+
+def q_f9_validation_quarantine(spark, sf_dir):
+    """F9 — range/domain checks route violations to quarantine."""
+    li = _t(spark, sf_dir, "lineitem")
+    checks = [
+        ("quantity_range", ~F.col("l_quantity").between(1, 50)),
+        ("discount_range", ~F.col("l_discount").between(0.0, 0.1)),
+        ("flag_domain", ~F.col("l_returnflag").isin("A", "N", "R")),
+    ]
+    dfs = [
+        li.filter(cond).select(F.lit(name).alias("violation"), "l_orderkey", "l_linenumber")
+        for name, cond in checks
+    ]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out.groupBy("violation").agg(F.count("*").alias("n_bad"))
+
+
+def q_a2_dedup_lww(spark, sf_dir):
+    """A2 — dedup by key, last-writer-wins props (MERGE SET semantics)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", F.struct("ts", "event_id")).alias("last_type"),
+        F.max_by("value", F.struct("ts", "event_id")).alias("last_value"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_a3_group_evidence(spark, sf_dir):
+    """A3 — edge-identity grouping with evidence accumulation."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n"),
+        F.min("ts").alias("ts_min"),
+        F.max("ts").alias("ts_max"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def q_a6_node_text(spark, sf_dir):
+    """A6/C3/C4 — reference node-text serialization (db.py:81-95
+    semantics: k=v parts joined '; ', empty values dropped)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        node_text(
+            F.col("c_name"),
+            F.col("c_mktsegment"),
+            F.array(F.col("c_name")),
+            F.concat(F.lit("bal "), F.col("c_acctbal").cast("int").cast("string")),
+            F.lit(None).cast("string"),
+            F.lit(None).cast("int"),
+            F.lit(None).cast("int"),
+        ).alias("text"),
+    )
+
+
+def q_c9_snake_case(spark, sf_dir):
+    """C9 — node-name normalization."""
+    p = _t(spark, sf_dir, "part")
+    return p.select("p_partkey", snake_case(F.col("p_name")).alias("norm_name"))
+
+
+def q_u1_union_distinct(spark, sf_dir):
+    """U1 — UNION (distinct) of two predicate branches."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("value") > 50).select("event_type")
+    b = ev.filter(F.col("user_id") < 10).select("event_type")
+    return a.union(b).distinct()
+
+
+def q_o2_global_topk(spark, sf_dir):
+    """O2 — global top-k (TakeOrderedAndProject), deterministic ties."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2)
+    return (
+        li.select("l_orderkey", "l_linenumber", rev.alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey", "l_linenumber")
+        .limit(30)
+    )
+
+
+def q_w4_topk_per_group(spark, sf_dir):
+    """W4 — top-k per group via window row_number."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
+    )
+
+
+def q_j2_multi_join_agg(spark, sf_dir):
+    """J2 — multi-way equi-join (broadcast dims) + aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def q_j3_rewire_coalesce(spark, sf_dir):
+    """J3 — edge-rewire outer join: map old key → new key, coalesce."""
+    s = _t(spark, sf_dir, "supplier")
+    remap = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_nationkey") < 12)
+        .select(
+            F.col("n_nationkey").alias("s_nationkey"),
+            (F.col("n_regionkey") + 100).alias("new_key"),
+        )
+    )
+    return s.join(F.broadcast(remap), "s_nationkey", "left").select(
+        "s_suppkey",
+        F.coalesce("new_key", "s_nationkey").cast("int").alias("effective_key"),
+    )
+
+
+def q_g4_isolated_nodes(spark, sf_dir):
+    """G4 — nodes with no incident edges (anti-join), per segment."""
+    c = _t(spark, sf_dir, "customer")
+    endpoints = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    ).distinct()
+    return (
+        c.join(endpoints, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_isolated"))
+    )
+
+
+def q_g5_connected_components(spark, sf_dir):
+    """G5 — iterative hash-join connected components on a bipartite
+    vec↔label graph whose closed-form answer the oracle states."""
+    e = _t(spark, sf_dir, "embeddings")
+    verts = e.select(F.col("vec_id").alias("node_id")).union(
+        e.select((F.col("label").cast("long") + 1000000).alias("node_id"))
+    ).distinct()
+    edges = e.select(
+        F.col("vec_id").alias("a_id"),
+        (F.col("label").cast("long") + 1000000).alias("b_id"),
+    )
+    return connected_components(verts, edges)
+
+
+def q_tpch_q1(spark, sf_dir):
+    """A — partial+final aggregation (TPC-H Q1 shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup — hash-groupBy duplicate groups."""
+    d = _t(spark, sf_dir, "documents")
+    groups = exact_duplicates(d, "doc_id", "text")
+    # output engine-neutral columns (no xxhash values)
+    return groups.select("keep_id", "n_dups")
+
+
+def q_dedup_token_jaccard(spark, sf_dir):
+    """N-gram/token Jaccard near-dup pairs — integer-derived score."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower(F.col("text")), TOK_RE), lambda x: F.length(x) > 0)
+    )
+    f = d.select("doc_id", toks.alias("toks"))
+    a = f.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks"))
+    b = f.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks"))
+    inter = F.size(F.array_intersect(F.col("a_toks"), F.col("b_toks")))
+    union = F.size(F.array_union(F.col("a_toks"), F.col("b_toks")))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id", "b_id",
+            F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+def q_sim_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k (rank/ids only; scores quantized for
+    cross-engine rank stability)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    scored = F.broadcast(q).crossJoin(
+        e.select(F.col("vec_id"), F.col("embedding").alias("c_vec"))
+    ).select(
+        "query_id", "vec_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 3).alias("sim3"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim3"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "vec_id")
+    )
+
+
+def q_text_token_stats(spark, sf_dir):
+    """Token counting — whitespace tokens, distinct ratio, mean length
+    (integer-derived doubles)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), TOK_RE), lambda x: F.length(x) > 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.round(
+            F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+            / F.greatest(F.size(toks), F.lit(1)),
+            4,
+        ).alias("mean_tok_len"),
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality scoring — ratio features (integer-derived)."""
+    d = _t(spark, sf_dir, "documents")
+    out = quality_features(d, "text")
+    return out.select(
+        "doc_id", "n_chars", "n_tokens",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("digit_ratio", 6).alias("digit_ratio"),
+        F.round("distinct_token_ratio", 6).alias("distinct_ratio"),
+    )
+
+
+def q_text_lang_id(spark, sf_dir):
+    """Heuristic language ID via stopword-marker hits."""
+    d = _t(spark, sf_dir, "documents")
+    return language_id(d, "text").select("doc_id", "lang_pred")
+
+
+def q_kg_mentions(spark, sf_dir):
+    """X1 (mention-detection half) — controlled-vocabulary mention
+    rows per document."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.col("text")), TOK_RE),
+            lambda x: x.isin(*VOCAB),
+        )
+    )
+    return d.select("doc_id", F.explode(toks).alias("mention"))
+
+
+def q_kg_cooccurrence(spark, sf_dir):
+    """X1+A3 — co-occurring mention pairs per document → weighted
+    edges (subj < obj canonical form O4)."""
+    m = q_kg_mentions(spark, sf_dir)
+    a = m.select(F.col("doc_id"), F.col("mention").alias("subj"))
+    b = m.select(F.col("doc_id"), F.col("mention").alias("obj"))
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("subj") < F.col("obj"))
+        .groupBy("subj", "obj")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+# ---- rows-only queries (engine-specific hash internals; no oracle) -------
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return minhash_near_duplicates(d, "doc_id", "text", threshold=0.8)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_duplicates(d, "doc_id", "text", max_hamming=3)
+
+
+def q_sim_lsh_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(e, q, k=5, bands=16, bits=4)
+
+
+def q_kg_pipeline_triples(spark, sf_dir):
+    """Flagship: W3 reassembly → mention detection → co-occurrence
+    triples over events-derived transcripts (full Stage A+B shape on
+    neutral data)."""
+    tr = _events_as_transcripts(spark, sf_dir)
+    docs = reassemble(tr, salt_segment=64).documents
+    toks = F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.col("doc_text")), TOK_RE),
+            lambda x: F.length(x) > 0,
+        )
+    )
+    m = docs.select("conv_id", F.explode(toks).alias("mention"))
+    a = m.select("conv_id", F.col("mention").alias("subj"))
+    b = m.select("conv_id", F.col("mention").alias("obj"))
+    return (
+        a.join(b, "conv_id")
+        .filter(F.col("subj") < F.col("obj"))
+        .groupBy("subj", "obj")
+        .agg(F.count("*").alias("n_convs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# contract surface
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: events → reassembled
+    conversation documents → mention co-occurrence triples."""
+    return q_kg_pipeline_triples(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "w3_reassembly": q_w3_reassembly,
+        "f1_resume_antijoin": q_f1_resume_antijoin,
+        "f2_head_limit": q_f2_head_limit,
+        "f9_validation_quarantine": q_f9_validation_quarantine,
+        "a2_dedup_lww": q_a2_dedup_lww,
+        "a3_group_evidence": q_a3_group_evidence,
+        "a6_node_text": q_a6_node_text,
+        "c9_snake_case": q_c9_snake_case,
+        "u1_union_distinct": q_u1_union_distinct,
+        "o2_global_topk": q_o2_global_topk,
+        "w4_topk_per_group": q_w4_topk_per_group,
+        "j2_multi_join_agg": q_j2_multi_join_agg,
+        "j3_rewire_coalesce": q_j3_rewire_coalesce,
+        "g4_isolated_nodes": q_g4_isolated_nodes,
+        "g5_connected_components": q_g5_connected_components,
+        "tpch_q1": q_tpch_q1,
+        "dedup_exact": q_dedup_exact,
+        "dedup_token_jaccard": q_dedup_token_jaccard,
+        "sim_cosine_topk": q_sim_cosine_topk,
+        "text_token_stats": q_text_token_stats,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "kg_mentions": q_kg_mentions,
+        "kg_cooccurrence": q_kg_cooccurrence,
+        # rows-only (hash internals are engine-specific):
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "sim_lsh_topk": q_sim_lsh_topk,
+        "kg_pipeline_triples": q_kg_pipeline_triples,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tok_split = f"list_filter(string_split_regex(lower({{col}}), '{TOK_RE}'), x -> length(x) > 0)"
+    toks_text = tok_split.format(col="text")
+    return {
+        "w3_reassembly": f"""
+            SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                   CAST(COUNT(*) AS INTEGER) AS n_turns,
+                   STRING_AGG(event_type, chr(10) ORDER BY ts, event_id) AS doc_text
+            FROM events GROUP BY user_id
+        """,
+        "f1_resume_antijoin": """
+            SELECT o_orderkey FROM orders o
+            WHERE NOT EXISTS (
+              SELECT 1 FROM customer c
+              WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey = o.o_custkey)
+        """,
+        "f2_head_limit": """
+            SELECT doc_id, n_chars FROM documents ORDER BY doc_id LIMIT 10
+        """,
+        "f9_validation_quarantine": """
+            SELECT violation, COUNT(*) AS n_bad FROM (
+              SELECT 'quantity_range' AS violation FROM lineitem
+                WHERE l_quantity NOT BETWEEN 1 AND 50
+              UNION ALL
+              SELECT 'discount_range' FROM lineitem
+                WHERE l_discount NOT BETWEEN 0.0 AND 0.1
+              UNION ALL
+              SELECT 'flag_domain' FROM lineitem
+                WHERE l_returnflag NOT IN ('A','N','R')
+            ) GROUP BY violation
+        """,
+        "a2_dedup_lww": """
+            SELECT user_id, last_type, last_value, n_events FROM (
+              SELECT user_id, event_type AS last_type, value AS last_value,
+                     COUNT(*) OVER (PARTITION BY user_id) AS n_events,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) WHERE rn = 1
+        """,
+        "a3_group_evidence": """
+            SELECT user_id, event_type, COUNT(*) AS n,
+                   MIN(ts) AS ts_min, MAX(ts) AS ts_max,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM events GROUP BY user_id, event_type
+        """,
+        "a6_node_text": """
+            SELECT c_custkey,
+                   'name=' || c_name
+                   || '; aliases=' || c_name
+                   || '; type=' || c_mktsegment
+                   || '; description=bal ' || CAST(CAST(TRUNC(c_acctbal) AS INTEGER) AS VARCHAR)
+                   AS text
+            FROM customer
+        """,
+        "c9_snake_case": """
+            SELECT p_partkey,
+                   regexp_replace(
+                     regexp_replace(lower(trim(p_name)), '[^a-z0-9]+', '_', 'g'),
+                     '^_+|_+$', '', 'g') AS norm_name
+            FROM part
+        """,
+        "u1_union_distinct": """
+            SELECT event_type FROM events WHERE value > 50
+            UNION
+            SELECT event_type FROM events WHERE user_id < 10
+        """,
+        "o2_global_topk": """
+            SELECT l_orderkey, l_linenumber,
+                   ROUND(l_extendedprice * (1 - l_discount), 2) AS revenue
+            FROM lineitem
+            ORDER BY revenue DESC, l_orderkey, l_linenumber LIMIT 30
+        """,
+        "w4_topk_per_group": """
+            SELECT o_orderpriority, CAST(rank AS INTEGER) AS rank, o_orderkey, o_totalprice
+            FROM (
+              SELECT o_orderpriority, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rank
+              FROM orders)
+            WHERE rank <= 3
+        """,
+        "j2_multi_join_agg": """
+            SELECT r_name, COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r_name
+        """,
+        "j3_rewire_coalesce": """
+            SELECT s_suppkey,
+                   CAST(COALESCE(n.n_regionkey + 100, s.s_nationkey) AS INTEGER)
+                     AS effective_key
+            FROM supplier s
+            LEFT JOIN nation n
+              ON n.n_nationkey = s.s_nationkey AND n.n_nationkey < 12
+        """,
+        "g4_isolated_nodes": """
+            SELECT c_mktsegment, COUNT(*) AS n_isolated
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            GROUP BY c_mktsegment
+        """,
+        "g5_connected_components": """
+            SELECT vec_id AS node_id,
+                   MIN(vec_id) OVER (PARTITION BY label) AS component_id
+            FROM embeddings
+            UNION ALL
+            SELECT CAST(label AS BIGINT) + 1000000 AS node_id,
+                   MIN(vec_id) AS component_id
+            FROM embeddings GROUP BY label
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(AVG(l_discount), 6) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "dedup_exact": """
+            SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+            FROM documents GROUP BY text HAVING COUNT(*) > 1
+        """,
+        "dedup_token_jaccard": f"""
+            WITH f AS (
+              SELECT doc_id, list_distinct({toks_text}) AS toks
+              FROM documents WHERE doc_id < 120)
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   ROUND(
+                     CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE)
+                     / GREATEST(len(list_distinct(list_concat(a.toks, b.toks))), 1),
+                     6) AS jaccard
+            FROM f a JOIN f b ON a.doc_id < b.doc_id
+            WHERE ROUND(
+                     CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE)
+                     / GREATEST(len(list_distinct(list_concat(a.toks, b.toks))), 1),
+                     6) >= 0.8
+        """,
+        "sim_cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 4),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     ROUND(list_cosine_similarity(q.qv, e.embedding), 3) AS sim3
+              FROM q CROSS JOIN embeddings e),
+            ranked AS (
+              SELECT query_id, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY sim3 DESC, vec_id) AS rank
+              FROM scored)
+            SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id
+            FROM ranked WHERE rank <= 5
+        """,
+        "text_token_stats": f"""
+            SELECT doc_id,
+                   CAST(len({toks_text}) AS INTEGER) AS n_tokens,
+                   CAST(len(list_distinct({toks_text})) AS INTEGER) AS n_distinct,
+                   ROUND(CAST(list_sum(list_transform({toks_text}, x -> length(x))) AS DOUBLE)
+                         / GREATEST(len({toks_text}), 1), 4) AS mean_tok_len
+            FROM documents
+        """,
+        "text_quality": f"""
+            SELECT doc_id,
+                   CAST(length(text) AS INTEGER) AS n_chars,
+                   CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                        x -> length(x) > 0)) AS INTEGER) AS n_tokens,
+                   ROUND(CAST(length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) AS DOUBLE)
+                         / GREATEST(length(text), 1), 6) AS punct_ratio,
+                   ROUND(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                         / GREATEST(length(text), 1), 6) AS digit_ratio,
+                   ROUND(CAST(len(list_distinct({toks_text})) AS DOUBLE)
+                         / GREATEST(len({toks_text}), 1), 6) AS distinct_ratio
+            FROM documents
+        """,
+        "text_lang_id": f"""
+            WITH h AS (
+              SELECT doc_id,
+                len(list_filter({toks_text}, x -> x IN ('der','die','das','und','ist','nicht','mit','ein'))) AS h_de,
+                len(list_filter({toks_text}, x -> x IN ('the','and','of','to','is','in','that','for'))) AS h_en,
+                len(list_filter({toks_text}, x -> x IN ('el','la','los','que','es','una','para','con'))) AS h_es,
+                len(list_filter({toks_text}, x -> x IN ('le','la','les','et','est','une','dans','pour'))) AS h_fr
+              FROM documents)
+            SELECT doc_id,
+              CASE WHEN GREATEST(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                   WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+                   WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+                   WHEN h_en >= h_de THEN 'en'
+                   ELSE 'de' END AS lang_pred
+            FROM h
+        """,
+        "kg_mentions": f"""
+            SELECT doc_id,
+                   unnest(list_distinct(list_filter({toks_text},
+                          x -> x IN ({_VOCAB_SQL})))) AS mention
+            FROM documents
+        """,
+        "kg_cooccurrence": f"""
+            WITH m AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_filter({toks_text},
+                            x -> x IN ({_VOCAB_SQL})))) AS mention
+              FROM documents)
+            SELECT a.mention AS subj, b.mention AS obj, COUNT(*) AS n_docs
+            FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.mention < b.mention
+            GROUP BY a.mention, b.mention
+        """,
+    }

@@ -1,0 +1,180 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies over a document table ``(doc_id, text)``, each
+scale-first:
+
+- **exact**: hash-groupBy on the full text (one shuffle, map-side
+  partial agg).
+- **minhash_lsh**: char-shingle → MinHash signature → banded buckets
+  → bucket self-join → exact Jaccard verify. Sub-quadratic; the same
+  blocking core as Stage C canonicalization.
+- **simhash**: 64-bit SimHash fingerprint; near-dup ⇔ hamming ≤ k.
+  Bucket by fingerprint rotations/bands to avoid O(n²).
+- **ngram_jaccard**: word n-gram sets + exact Jaccard on LSH-blocked
+  candidates (quality-precision variant).
+- **embedding cosine** near-dup: see operators/similarity.py
+  (cosine_pairs with high threshold).
+
+All return candidate/duplicate pair DataFrames with canonical
+(a < b) ordering so downstream keep/drop is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hamming64, lsh_bands, minhash_signature, simhash64
+from ..functions.text import char_shingles, tokenize, word_ngrams
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: (text_hash, n_dups, doc_ids,
+    keep_id = min doc_id). Hash first so the shuffle key is 8 bytes,
+    not the document body."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.xxhash64(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").alias("keep_id"),
+            F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def _bucket_pairs(feat: DataFrame, num_hashes: int, bands: int, max_bucket: int) -> DataFrame:
+    """Shared LSH banding core: feat(doc_id, tokens) → candidate pairs
+    (a_id, b_id, a_tokens, b_tokens), hot buckets dropped."""
+    rows = num_hashes // bands
+    sig = feat.withColumn("sig", minhash_signature(F.col("tokens"), num_hashes))
+    b = sig.select(
+        "doc_id", "tokens", F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("bb")
+    ).select("doc_id", "tokens", "bb.band", "bb.bucket")
+    hot = b.groupBy("band", "bucket").count().filter(F.col("count") > max_bucket)
+    b = b.join(F.broadcast(hot.select("band", "bucket")), ["band", "bucket"], "left_anti")
+    left = b.select("band", "bucket", F.col("doc_id").alias("a_id"), F.col("tokens").alias("a_tokens"))
+    right = b.select("band", "bucket", F.col("doc_id").alias("b_id"), F.col("tokens").alias("b_tokens"))
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_tokens", "b_tokens")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+
+
+def _jaccard(a: str, b: str) -> F.Column:
+    inter = F.size(F.array_intersect(F.col(a), F.col(b)))
+    union = F.size(F.array_union(F.col(a), F.col(b)))
+    return (inter / F.greatest(union, F.lit(1))).cast("double")
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs (a_id, b_id, jaccard ≥ threshold)."""
+    feat = docs.select(
+        F.col(id_col).alias("doc_id"), char_shingles(F.col(text_col), shingle_k).alias("tokens")
+    ).filter(F.size("tokens") > 0)
+    pairs = _bucket_pairs(feat, num_hashes, bands, max_bucket)
+    return (
+        pairs.withColumn("jaccard", _jaccard("a_tokens", "b_tokens"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def ngram_jaccard_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Word n-gram Jaccard near-dups, LSH-blocked."""
+    feat = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(word_ngrams(tokenize(F.col(text_col)), n)).alias("tokens"),
+    ).filter(F.size("tokens") > 0)
+    pairs = _bucket_pairs(feat, num_hashes, bands, max_bucket)
+    return (
+        pairs.withColumn("jaccard", _jaccard("a_tokens", "b_tokens"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    shingle_k: int = 4,
+) -> DataFrame:
+    """SimHash near-dups with ≤ max_hamming differing bits.
+
+    Blocking: split the 64-bit fingerprint into (max_hamming + 1)
+    16-bit-ish bands — by pigeonhole, any pair within max_hamming
+    shares at least one full band, so a self-join on (band_idx,
+    band_bits) finds all true pairs without O(n²).
+    """
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    fp = docs.select(
+        F.col(id_col).alias("doc_id"),
+        simhash64(char_shingles(F.col(text_col), shingle_k)).alias("fp"),
+    )
+    bandcols = F.array(*[
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftrightunsigned(F.col("fp"), i * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("bits"),
+        )
+        for i in range(n_bands)
+    ])
+    b = fp.select("doc_id", "fp", F.explode(bandcols).alias("bb")).select(
+        "doc_id", "fp", "bb.band", "bb.bits"
+    )
+    left = b.select("band", "bits", F.col("doc_id").alias("a_id"), F.col("fp").alias("a_fp"))
+    right = b.select("band", "bits", F.col("doc_id").alias("b_id"), F.col("fp").alias("b_fp"))
+    return (
+        left.join(right, ["band", "bits"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+        .withColumn("hamming", hamming64(F.col("a_fp"), F.col("b_fp")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
+def dedup_keep_first(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Resolve near-dup pairs into a keep-set via connected components
+    (min doc survives each component) — order-independent, unlike
+    greedy sequential dropping."""
+    from .components import connected_components
+
+    verts = docs.select(F.col(id_col).cast("long").alias("node_id"))
+    comps = connected_components(verts, pairs.select("a_id", "b_id"))
+    return (
+        docs.join(
+            comps.withColumnRenamed("node_id", id_col),
+            id_col,
+            "left",
+        )
+        .filter(
+            F.col("component_id").isNull() | (F.col(id_col) == F.col("component_id"))
+        )
+        .drop("component_id")
+    )

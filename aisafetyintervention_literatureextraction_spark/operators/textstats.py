@@ -1,0 +1,117 @@
+"""Text analysis operators: language-ID, quality scoring, token
+counting, document fingerprinting. All pure column expressions
+(WholeStageCodegen; zero Python) — these run over every document of a
+100 TB corpus, so the hot path must stay JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import simhash64
+from ..functions.text import char_shingles, tokenize
+
+# tiny per-language stopword marker sets (n-gram heuristic language ID)
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans", "pour"],
+    "es": ["el", "la", "los", "que", "es", "una", "para", "con"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish subword proxy: word-piece + digit + punctuation splits
+    (the standard ~chars/4 pre-tokenizer regex family)."""
+    pieces = F.filter(
+        F.split(text, r"(?=[A-Z])|[^A-Za-z0-9]+"), lambda t: F.length(t) > 0
+    )
+    # long words contribute ceil(len/6) subwords
+    return F.aggregate(
+        pieces,
+        F.lit(0).cast("long"),
+        lambda acc, p: acc + F.ceil(F.length(p) / F.lit(6.0)).cast("long"),
+    )
+
+
+def _ratio(num: Column, den: Column) -> Column:
+    return (num / F.greatest(den, F.lit(1))).cast("double")
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / repetition features + one
+    combined quality score in [0,1] (Gopher/C4-style filters)."""
+    t = F.col(text_col)
+    toks = tokenize(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    out = docs.withColumn("n_chars", n_chars)
+    out = out.withColumn("n_tokens", token_count(t))
+    out = out.withColumn(
+        "mean_word_len",
+        _ratio(
+            F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)),
+            n_tokens,
+        ),
+    )
+    out = out.withColumn(
+        "punct_ratio",
+        _ratio(F.length(F.regexp_replace(t, r"[^\.,;:!\?]", "")), n_chars),
+    )
+    out = out.withColumn(
+        "digit_ratio", _ratio(F.length(F.regexp_replace(t, r"[^0-9]", "")), n_chars)
+    )
+    out = out.withColumn(
+        "stopword_ratio",
+        _ratio(
+            F.size(F.filter(toks, lambda x: x.isin(*_LANG_MARKERS["en"]))), n_tokens
+        ),
+    )
+    out = out.withColumn(
+        "distinct_token_ratio", _ratio(F.size(F.array_distinct(toks)), n_tokens)
+    )
+    # combined score: reward mid-length docs with diverse tokens and
+    # sane punctuation; each clause in [0,1]
+    out = out.withColumn(
+        "quality_score",
+        F.round(
+            F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0)) * 0.3
+            + F.col("distinct_token_ratio") * 0.4
+            + (F.lit(1.0) - F.least(F.col("punct_ratio") * 10, F.lit(1.0))) * 0.15
+            + (F.lit(1.0) - F.least(F.col("digit_ratio") * 5, F.lit(1.0))) * 0.15,
+            4,
+        ),
+    )
+    return out
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax over per-language stopword hit
+    counts; 'und' (undetermined) when nothing matches."""
+    toks = tokenize(F.col(text_col))
+    scores = [
+        F.struct(
+            F.size(F.filter(toks, lambda x: x.isin(*words))).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in sorted(_LANG_MARKERS.items())
+    ]
+    best = F.array_max(F.array(*scores))
+    return docs.withColumn(
+        "lang_pred",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", shingle_k: int = 4) -> DataFrame:
+    """64-bit rolling content fingerprint (SimHash over char shingles)
+    — stable under small edits; the dedup/bucketing key."""
+    return docs.withColumn(
+        "fingerprint", simhash64(char_shingles(F.col(text_col), shingle_k))
+    )

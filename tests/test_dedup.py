@@ -1,0 +1,89 @@
+"""Dedup operator tests on the driver-provided documents table +
+hand-built near-dup fixtures."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from aisafetyintervention_literatureextraction_spark.operators.dedup import (
+    dedup_keep_first,
+    exact_duplicates,
+    minhash_near_duplicates,
+    ngram_jaccard_duplicates,
+    simhash_near_duplicates,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").persist()
+    d.count()
+    return d
+
+
+@pytest.fixture(scope="module")
+def neardup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again in the yard"
+    rows = [
+        (0, base),
+        (1, base),                                   # exact dup of 0
+        (2, base.replace("lazy", "sleepy")),          # near dup
+        (3, "completely unrelated text about spark catalyst optimizer internals"),
+        (4, base.replace("quick", "swift").replace("dog", "hound")),  # near dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(neardup_docs):
+    groups = exact_duplicates(neardup_docs).collect()
+    assert len(groups) == 1
+    assert sorted(groups[0]["doc_ids"]) == [0, 1]
+    assert groups[0]["keep_id"] == 0
+
+
+def test_minhash_near_duplicates(neardup_docs):
+    pairs = {
+        (r["a_id"], r["b_id"])
+        for r in minhash_near_duplicates(neardup_docs, threshold=0.6).collect()
+    }
+    assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_near_duplicates(neardup_docs):
+    pairs = {
+        (r["a_id"], r["b_id"])
+        for r in simhash_near_duplicates(neardup_docs, max_hamming=8).collect()
+    }
+    assert (0, 1) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_ngram_jaccard(neardup_docs):
+    pairs = {
+        (r["a_id"], r["b_id"])
+        for r in ngram_jaccard_duplicates(neardup_docs, n=2, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_dedup_keep_first(neardup_docs):
+    pairs = minhash_near_duplicates(neardup_docs, threshold=0.6)
+    kept = dedup_keep_first(neardup_docs, pairs)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    # component {0,1,2,4 maybe} keeps 0; 3 isolated stays
+    assert 0 in ids and 3 in ids and 1 not in ids and 2 not in ids
+
+
+def test_exact_dedup_on_testdata(docs):
+    """Cross-check groupBy-hash against groupBy-text on real data."""
+    via_hash = exact_duplicates(docs, "doc_id", "text").agg(
+        F.sum(F.col("n_dups") - 1)
+    ).collect()[0][0] or 0
+    via_text = (
+        docs.groupBy("text").count().filter(F.col("count") > 1)
+        .agg(F.sum(F.col("count") - 1)).collect()[0][0] or 0
+    )
+    assert via_hash == via_text
