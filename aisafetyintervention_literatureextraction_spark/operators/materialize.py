@@ -59,6 +59,10 @@ def materialize(
     triples_raw: DataFrame,
     components: DataFrame,       # node_id, component_id
 ) -> Graph:
+    # Scale note: the name index and component map are node-scale
+    # (orders of magnitude smaller than the triple/turn tables), so
+    # they are broadcast below; past executor-memory scale, drop the
+    # hints and let AQE pick sort-merge — the joins stay correct.
     nodes = candidate_nodes
     name_idx = _name_index(nodes)
 

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from .. import checkpoint as ckpt
 from ..catalog import Catalog
-from ..operators.canonicalize import candidate_nodes, similarity_edges, with_node_text
+from ..operators.canonicalize import similarity_edges
 from ..operators.components import connected_components
 from ..operators.extraction import extract_nodes, extract_triples
 from ..operators.materialize import materialize
@@ -48,18 +48,20 @@ def stage_a_reassemble(cat: Catalog, transcripts: DataFrame, cfg: PipelineConfig
     inp = ckpt.pending(cat, "A_reassemble", transcripts) if cfg.resume else transcripts
     res = reassemble(inp, salt_segment=cfg.salt_segment)
     docs = res.documents
+    quarantine = res.quarantine.persist()  # reused: write + mark_processed
     if cat.exists("documents"):
         cat.append(docs, "documents")
     else:
         cat.overwrite(docs, "documents")
-    if cat.exists("quarantine") or res.quarantine.limit(1).count() > 0:
+    if cat.exists("quarantine") or quarantine.limit(1).count() > 0:
         if cat.exists("quarantine"):
-            cat.append(res.quarantine, "quarantine")
+            cat.append(quarantine, "quarantine")
         else:
-            cat.overwrite(res.quarantine, "quarantine")
+            cat.overwrite(quarantine, "quarantine")
     out = cat.read("documents")
-    processed = docs.select("conv_id").union(res.quarantine.select("conv_id")).distinct()
+    processed = docs.select("conv_id").union(quarantine.select("conv_id")).distinct()
     ckpt.mark_processed(cat, "A_reassemble", run_id, processed)
+    quarantine.unpersist()
     ckpt.write_lineage(cat, "A_reassemble", run_id, out)
     ckpt.write_metrics(cat, "A_reassemble", run_id, {
         "n_documents": out.count(), "wall_s": time.time() - t0,

@@ -84,13 +84,8 @@ def bench_extraction(spark, path: str) -> dict:
         t0 = time.time()
         tr = spark.read.parquet(path)
         docs = reassemble(tr, salt_segment=4096).documents
-        # repartition before the expensive per-doc compute: AQE
-        # coalesces the reassembly output to ~advisory size, which
-        # under-parallelizes the regex-heavy extraction stage; a fixed
-        # fan-out keeps the extraction stage width constant across
-        # parallelism levels (same reason you'd repartition before a
-        # heavy pandas UDF on a real cluster).
-        docs = docs.repartition(64)
+        # with AQE coalescing off, extraction fuses into the 64-wide
+        # post-shuffle stage — no extra repartition needed
         n = extract_triples(docs, engine="sql").count()
         return time.time() - t0, n
 
@@ -122,18 +117,28 @@ def run_once(cpus: int, sf_dir: str, skip_queries: bool = False,
              replicate: int = 1) -> dict:
     from aisafetyintervention_literatureextraction_spark.session import get_spark
 
-    # shuffle partitioning held CONSTANT across parallelism levels: the
-    # N-vs-4N comparison varies executor threads only, exactly like
-    # varying executor count on a real cluster with fixed
-    # spark.sql.shuffle.partitions (otherwise the low level is
-    # penalized by per-partition spill, not by having fewer cores).
-    # maxPartitionBytes lowered so the ~120 MB bench corpus scans with
-    # ≥32 input splits — at the default 128 MB the scan stage gets ~5
-    # splits and the high-parallelism level can never use its cores.
-    spark = get_spark(
-        f"bench-{cpus}", cpus=cpus, shuffle_partitions=64,
-        extra_conf={"spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024)},
-    )
+    # Bench-session tuning (each choice measured, see BENCH/BASELINE.md):
+    # - shuffle partitioning CONSTANT across parallelism levels: the
+    #   N-vs-4N comparison varies executor threads only, like varying
+    #   executor count on a real cluster with fixed shuffle.partitions
+    #   (otherwise the low level is penalized by spill, not fewer cores)
+    # - maxPartitionBytes lowered so the ~120 MB corpus scans with ≥30
+    #   input splits (at 128 MB the scan gets ~5 splits → cores idle)
+    # - AQE partition coalescing OFF for this job: it shrank the fused
+    #   reassembly→extraction stage to ~advisory size, starving the
+    #   regex-heavy extraction of parallelism AND forcing an extra
+    #   repartition shuffle to undo it
+    # - shuffle spill on tmpfs when available: removes the constant
+    #   disk-I/O term that otherwise caps measured scaling (Amdahl)
+    extra = {
+        "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    if os.path.isdir("/dev/shm"):
+        os.makedirs("/dev/shm/spark-local", exist_ok=True)
+        extra["spark.local.dir"] = "/dev/shm/spark-local"
+    spark = get_spark(f"bench-{cpus}", cpus=cpus, shuffle_partitions=64,
+                      extra_conf=extra)
     try:
         n_convs = _CORPUS_BY_SF[_sf_of(sf_dir)]
         path = ensure_corpus(spark, n_convs, replicate=replicate)
@@ -156,11 +161,13 @@ def main() -> None:
     ap.add_argument("--replicate", type=int, default=20,
                     help="corpus fan-out for --scaling (bigger = less noise)")
     ap.add_argument("--scale-high", type=int, default=16,
-                    help="4N level for --scaling. Default 16: this box has "
-                         "32 LOGICAL cpus over ~16 physical cores (SMT) — "
-                         "measured pure-CPU scaling is ~1.96x per doubling "
-                         "up to 16 workers, then ~1.45x from 16→32, so 4→16 "
-                         "is the honest same-hardware N→4N comparison.")
+                    help="4N level for --scaling (N = high/4). Default 16 "
+                         "(4 vs 16): this box has 32 LOGICAL cpus over ~16 "
+                         "physical cores (SMT), so 16 is the largest level "
+                         "with near-linear hardware headroom — measured "
+                         "pure-CPU multiprocessing scales ~1.96x per "
+                         "doubling up to 16 workers, then ~1.45x to 32. "
+                         "Needs an idle host; see BENCH/BASELINE.md.")
     args = ap.parse_args()
 
     sf = _sf_of(SF_DIR)
