@@ -23,9 +23,6 @@ from aisafetyintervention_literatureextraction_spark.functions.text import (
     node_text,
     snake_case,
 )
-from aisafetyintervention_literatureextraction_spark.operators.canonicalize import (
-    candidate_nodes,
-)
 from aisafetyintervention_literatureextraction_spark.operators.components import (
     connected_components,
 )

@@ -1,0 +1,50 @@
+"""Physical-plan regression tests — the scale contract, not just the
+results: column pruning reaches the scan, small dims broadcast,
+global top-k lowers to TakeOrderedAndProject, resume anti-join stays
+a broadcast anti-join with pushed filters."""
+
+import contextlib
+import io
+
+import __spark_entry__ as em
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = em.queries()[name](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_column_pruning_reaches_scan(spark):
+    p = _plan(spark, "f2_head_limit")
+    read = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert read and "doc_id" in read[0] and "n_chars" in read[0]
+    assert "text" not in read[0]  # the wide column must NOT be read
+
+
+def test_dim_joins_broadcast(spark):
+    p = _plan(spark, "j2_multi_join_agg")
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in p
+
+
+def test_global_topk_is_take_ordered(spark):
+    p = _plan(spark, "o2_global_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p  # no global sort
+
+
+def test_anti_join_with_pushdown(spark):
+    p = _plan(spark, "f1_resume_antijoin")
+    assert "LeftAnti" in p
+    assert "EqualTo(c_mktsegment,BUILDING)" in p  # filter pushed to scan
+
+
+def test_q1_partial_aggregation(spark):
+    p = _plan(spark, "tpch_q1")
+    # partial (map-side) + final HashAggregate pair
+    assert p.count("HashAggregate") >= 2
