@@ -395,6 +395,83 @@ def q_approx_aggs(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (Spark lacks a native one; pyspark_guide pattern):
+    for each order, the latest event of user (o_custkey % 50) with
+    ts <= o_orderdate — implemented as union + per-key ordered
+    last-non-null carry-forward (one window, no range explosion)."""
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 50).alias("uid"),
+        F.col("ts").alias("t"),
+        F.col("event_id"),
+        F.col("event_type"),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 50).alias("uid"),
+        F.col("o_orderdate").alias("t"),
+        "o_orderkey",
+    )
+    unioned = ev.select(
+        "uid", "t", F.lit(0).alias("kind"), "event_id", "event_type",
+        F.lit(None).cast("long").alias("o_orderkey"),
+    ).unionByName(
+        orders.select(
+            "uid", "t", F.lit(1).alias("kind"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("string").alias("event_type"),
+            "o_orderkey",
+        )
+    )
+    # order by (t, kind, event_id): events sort before orders at equal
+    # ts (<= semantics); among equal-ts events the max event_id wins
+    w = (
+        Window.partitionBy("uid")
+        .orderBy("t", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "last_event_type", F.last("event_type", ignorenulls=True).over(w)
+    ).withColumn("last_event_id", F.last("event_id", ignorenulls=True).over(w))
+    return carried.filter(F.col("kind") == 1).select(
+        "o_orderkey", "last_event_id", "last_event_type"
+    )
+
+
+def q_pivot_event_types(spark, sf_dir):
+    """Pivot — per-user event counts spread into columns."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "error"])
+        .count()
+        .na.fill(0, ["click", "view", "purchase", "error"])
+    )
+
+
+def q_rollup_revenue(spark, sf_dir):
+    """Rollup — hierarchical totals (region → nation → total) with
+    grouping-set markers."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    base = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        base.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("r_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
+            "n_custs", "total_bal",
+        )
+    )
+
+
 def q_kg_mentions(spark, sf_dir):
     """X1 (mention-detection half) — controlled-vocabulary mention
     rows per document."""
@@ -501,6 +578,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "sessionize": q_sessionize,
         "approx_aggs": q_approx_aggs,
+        "asof_join": q_asof_join,
+        "pivot_event_types": q_pivot_event_types,
+        "rollup_revenue": q_rollup_revenue,
         "kg_mentions": q_kg_mentions,
         "kg_cooccurrence": q_kg_cooccurrence,
         # rows-only (hash internals are engine-specific):
@@ -728,6 +808,37 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT l_orderkey) AS n_orders,
                    ROUND(MEDIAN(l_quantity), 2) AS median_qty
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "asof_join": """
+            SELECT o.o_orderkey,
+                   e.event_id AS last_event_id,
+                   e.event_type AS last_event_type
+            FROM (SELECT o_orderkey, o_custkey % 50 AS uid, o_orderdate
+                  FROM orders) o
+            LEFT JOIN LATERAL (
+              SELECT event_id, event_type
+              FROM events ev
+              WHERE ev.user_id % 50 = o.uid AND ev.ts <= o.o_orderdate
+              ORDER BY ev.ts DESC, ev.event_id DESC LIMIT 1
+            ) e ON TRUE
+        """,
+        "pivot_event_types": """
+            SELECT user_id,
+                   COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+                   COUNT(*) FILTER (WHERE event_type = 'view') AS "view",
+                   COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                   COUNT(*) FILTER (WHERE event_type = 'error') AS "error"
+            FROM events GROUP BY user_id
+        """,
+        "rollup_revenue": """
+            SELECT COALESCE(r_name, 'ALL') AS r_name,
+                   COALESCE(n_name, 'ALL') AS n_name,
+                   COUNT(*) AS n_custs,
+                   ROUND(SUM(c_acctbal), 2) AS total_bal
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
         """,
         "kg_mentions": f"""
             SELECT doc_id,

@@ -19,7 +19,10 @@ SF_DIR = "/root/testdata/sf0.001"
 def docs(spark):
     d = spark.read.parquet(f"{SF_DIR}/documents.parquet").persist()
     d.count()
-    return d
+    yield d
+    # unpersist: Spark's cache manager substitutes InMemoryRelation for
+    # ANY later plan over this parquet, breaking plan-shape tests
+    d.unpersist()
 
 
 @pytest.fixture(scope="module")

@@ -18,7 +18,8 @@ SF_DIR = "/root/testdata/sf0.001"
 def emb(spark):
     e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").persist()
     e.count()
-    return e
+    yield e
+    e.unpersist()
 
 
 def test_cosine_expr(spark):
