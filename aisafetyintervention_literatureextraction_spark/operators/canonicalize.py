@@ -101,12 +101,19 @@ def lsh_candidate_pairs(
     token arrays attached. O(4) canonical pair form via least/greatest
     (merge.py:88) + per-pair dedup (A4)."""
     rows = num_hashes // bands
-    feats = _feature_tokens(nodes).select("node_id", "tokens")
+    # persist the tokenized features: they feed the signature job, the
+    # bucket-size job, and the two token re-attach joins below
+    feats = _feature_tokens(nodes).select("node_id", "tokens").persist()
     sig = feats.withColumn("sig", minhash_signature(F.col("tokens"), num_hashes))
+    # bucketed rows are NARROW (ids only): the pre-dedup candidate set
+    # can be orders of magnitude larger than the surviving pairs, so
+    # token arrays are attached AFTER dedup, not dragged through the
+    # self-join shuffle (measured 33 s → ~7 s at 120k nodes)
     bucketed = sig.select(
-        "node_id", "tokens",
+        "node_id",
         F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("bb"),
-    ).select("node_id", "tokens", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("node_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    bucketed = bucketed.persist()
 
     # drop degenerate hot buckets before the self-join (skew control)
     bucket_sizes = bucketed.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
@@ -116,19 +123,24 @@ def lsh_candidate_pairs(
         "left_anti",
     )
 
-    a = bucketed.select(
-        F.col("band"), F.col("bucket"),
-        F.col("node_id").alias("a_id"), F.col("tokens").alias("a_tokens"),
-    )
-    b = bucketed.select(
-        F.col("band"), F.col("bucket"),
-        F.col("node_id").alias("b_id"), F.col("tokens").alias("b_tokens"),
-    )
-    pairs = (
+    a = bucketed.select("band", "bucket", F.col("node_id").alias("a_id"))
+    b = bucketed.select("band", "bucket", F.col("node_id").alias("b_id"))
+    cand = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("a_id") < F.col("b_id"))  # F7 self-filter + O4 canonical
-        .select("a_id", "b_id", "a_tokens", "b_tokens")
+        .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])       # A4: one row per pair
+    )
+    pairs = (
+        cand.join(
+            feats.select(F.col("node_id").alias("a_id"), F.col("tokens").alias("a_tokens")),
+            "a_id",
+        )
+        .join(
+            feats.select(F.col("node_id").alias("b_id"), F.col("tokens").alias("b_tokens")),
+            "b_id",
+        )
+        .select("a_id", "b_id", "a_tokens", "b_tokens")
     )
     return pairs
 
