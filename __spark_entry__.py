@@ -304,6 +304,22 @@ def q_dedup_token_jaccard(spark, sf_dir):
     )
 
 
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (ids only; threshold margin
+    ≫ cross-engine float error). Exact all-pairs here — the corpus
+    table is small; operators/similarity.cosine_pairs is the
+    LSH-blocked scale path (rows-only sim_lsh_topk covers it)."""
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(cosine(F.col("ea"), F.col("eb")) >= 0.45)
+        .select("a_id", "b_id")
+    )
+
+
 def q_sim_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k (rank/ids only; scores quantized for
     cross-engine rank stability)."""
@@ -572,6 +588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "dedup_exact": q_dedup_exact,
         "dedup_token_jaccard": q_dedup_token_jaccard,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "sim_cosine_topk": q_sim_cosine_topk,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
@@ -730,6 +747,12 @@ def oracle_sql() -> dict[str, str]:
                      CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE)
                      / GREATEST(len(list_distinct(list_concat(a.toks, b.toks))), 1),
                      6) >= 0.8
+        """,
+        "dedup_embedding_cosine": """
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.45
         """,
         "sim_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv

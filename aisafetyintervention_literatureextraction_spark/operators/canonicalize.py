@@ -260,9 +260,9 @@ def similarity_edges(
     filter) would otherwise each recompute the groupBy over the full
     nodes_raw table. The caller owns unpersisting (it is also the
     returned DataFrame). Measured at 4.2M turns / 120k distinct
-    nodes: LSH blocking ~33 s, TF-IDF re-rank ~10 s, CC ~3 s — all
-    node-scale, so stage C stays O(distinct nodes), not O(turns),
-    as the corpus grows.
+    nodes (16 cores): whole stage ~21 s (narrow-join LSH + TF-IDF
+    re-rank + CC) — all node-scale, so stage C stays
+    O(distinct nodes), not O(turns), as the corpus grows.
     """
     nodes = with_node_text(candidate_nodes(nodes_raw)).persist()
     pairs = scored_pairs(lsh_candidate_pairs(nodes))
