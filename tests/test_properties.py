@@ -1,0 +1,75 @@
+"""Property-based tests (SURVEY.md §5 item 4, hypothesis).
+
+Run with small example counts — each example spins Spark jobs. The
+properties: input permutation invariance, extractor soundness on
+arbitrary text, snake_case idempotence, catalog upsert idempotence.
+"""
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from aisafetyintervention_literatureextraction_spark.functions.text import snake_case
+from aisafetyintervention_literatureextraction_spark.operators.extraction import (
+    extract_triples,
+)
+from aisafetyintervention_literatureextraction_spark.operators.reassembly import (
+    reassemble,
+)
+from aisafetyintervention_literatureextraction_spark.schemas import TRANSCRIPTS
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+text_st = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00"),
+    max_size=80,
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    turns=st.lists(text_st, min_size=1, max_size=8),
+    seed=st.integers(0, 2**16),
+)
+def test_reassembly_permutation_invariant(spark, turns, seed):
+    """Any row order delivers the same document (per-turn equality
+    under stable ordering — the input_hint invariant)."""
+    import random
+
+    rows = [
+        {"conv_id": "c", "turn_idx": i, "role": "user", "text": t,
+         "tool": None, "ts": None}
+        for i, t in enumerate(turns)
+    ]
+    shuffled = rows[:]
+    random.Random(seed).shuffle(shuffled)
+    a = reassemble(spark.createDataFrame(rows, TRANSCRIPTS)).documents.collect()
+    b = reassemble(spark.createDataFrame(shuffled, TRANSCRIPTS)).documents.collect()
+    assert [r["doc_text"] for r in a] == [r["doc_text"] for r in b]
+    assert a[0]["doc_text"] == "\n".join(turns)
+
+
+@settings(**_SETTINGS)
+@given(doc=text_st)
+def test_extractor_sound_on_arbitrary_text(spark, doc):
+    """Grammar-free text yields NO triples and never crashes, in both
+    engines (the extractor must not hallucinate structure)."""
+    df = spark.createDataFrame([("c", doc)], "conv_id string, doc_text string")
+    for engine in ("sql", "arrow"):
+        out = extract_triples(df, engine=engine).collect()
+        assert out == []
+
+
+@settings(**_SETTINGS)
+@given(s=text_st)
+def test_snake_case_idempotent(spark, s):
+    df = spark.createDataFrame([(s,)], "v string")
+    once = df.select(snake_case(F.col("v")).alias("a"))
+    twice = once.select(snake_case(F.col("a")).alias("b")).collect()[0]["b"]
+    val = once.collect()[0]["a"]
+    assert twice == val
+    assert val == "" or (val[0] != "_" and val[-1] != "_")
