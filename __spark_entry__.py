@@ -36,6 +36,7 @@ from aisafetyintervention_literatureextraction_spark.operators.reassembly import
 )
 from aisafetyintervention_literatureextraction_spark.operators.similarity import (
     cosine,
+    cosine_fast,
     lsh_topk,
 )
 from aisafetyintervention_literatureextraction_spark.operators.textstats import (
@@ -315,7 +316,8 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     return (
         a.crossJoin(b)
         .filter(F.col("a_id") < F.col("b_id"))
-        .filter(cosine(F.col("ea"), F.col("eb")) >= 0.45)
+        .withColumn("c", cosine_fast(F.col("ea"), F.col("eb")))
+        .filter(F.col("c") >= 0.45)
         .select("a_id", "b_id")
     )
 
