@@ -33,9 +33,15 @@ def get_spark(
     """
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    builder = SparkSession.builder.appName(app_name)
+    # respect an externally-provided master (spark-submit --master on a
+    # real cluster); fall back to local[cpus] for direct python runs
+    from pyspark import SparkConf
+
+    if SparkConf().get("spark.master", None) is None:
+        builder = builder.master(f"local[{cpus}]")
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
