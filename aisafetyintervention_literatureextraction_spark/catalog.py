@@ -1,22 +1,38 @@
-"""Warehouse table catalog — Iceberg-shaped semantics on local parquet.
+"""Warehouse table catalog — Iceberg-shaped delta commits on local parquet.
 
 The production deployment target is an Iceberg catalog
 (``df.writeTo("kg.nodes").append()`` / ``MERGE INTO``); this sandbox
-has no Iceberg runtime jar, so the same semantics are provided here
-over versioned parquet snapshot directories:
+has no Iceberg runtime jar, so the catalog reproduces Iceberg's
+*commit model*, not just its isolation semantics:
 
-    <warehouse>/<table>/v=<n>/part-*.parquet
-    <warehouse>/<table>/_latest          (text file: the live version)
+    <warehouse>/<table>/data/c-<uuid>/...          immutable data dirs
+    <warehouse>/<table>/manifests/v=<n>.json       manifest list per version
+    <warehouse>/<table>/_latest                    live version pointer
 
-Writers always write a NEW snapshot directory and then flip the
-``_latest`` pointer — readers of the previous snapshot are never
-disturbed (Iceberg's snapshot isolation, which also makes
-read-modify-write ``merge_upsert`` safe, unlike in-place parquet
-overwrite which Spark forbids on a path being read).
+A snapshot is a MANIFEST (a JSON list of data-dir entries), not a
+copy of the data. Commits only ever (a) write new immutable data
+files and (b) write a new manifest + flip the pointer — so:
 
-``merge_upsert`` reproduces the reference's Cypher ``MERGE ... SET``
-last-writer-wins upsert (reference db.py:41-53) as one set-oriented
-operation instead of O(rows) round-trips.
+- ``append`` is **O(delta)**: it writes only the new rows' files; the
+  new manifest carries the previous entries forward by reference
+  (Iceberg's "snapshot = pointer to prior manifest + new files").
+- ``merge_upsert`` is **O(touched buckets)**: the table is hash-
+  bucketed on its merge keys (the analog of Iceberg
+  ``bucket(conv_id)`` partitioning); an upsert rewrites only buckets
+  that contain updated keys and carries every other bucket's files
+  forward untouched — the set-oriented twin of the reference's Cypher
+  ``MERGE ... SET`` last-writer-wins upsert (reference db.py:41-53).
+- readers of any previous version are never disturbed (snapshot
+  isolation; ``read(name, version=v)`` is time travel).
+- entries are tagged with the writing ``run_id`` so an interrupted
+  multi-table pipeline commit can be healed at the *manifest* level:
+  ``prune_orphan_runs`` drops entries from runs whose checkpoint-state
+  commit never landed — O(manifest), never O(data).
+
+Maintenance (Iceberg leaves this to table services, so do we):
+``compact`` rewrites the live snapshot into one data dir when the
+entry list has grown long; ``vacuum`` deletes data dirs no manifest
+references.
 """
 
 from __future__ import annotations
@@ -25,10 +41,21 @@ import json
 import os
 import shutil
 import time
+import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_BUCKET_COL = "__bucket"
+
+
+def bucket_expr(keys: list[str], n_buckets: int) -> F.Column:
+    """Deterministic key-hash bucket (the Iceberg ``bucket(N, key)``
+    transform analog): same keys → same bucket, every run, every
+    executor."""
+    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
 
 
 @dataclass
@@ -36,12 +63,15 @@ class Catalog:
     spark: SparkSession
     warehouse: str
 
-    # -- snapshot plumbing -------------------------------------------------
+    # -- paths ---------------------------------------------------------------
     def _table_dir(self, name: str) -> str:
         return os.path.join(self.warehouse, name)
 
     def _latest_file(self, name: str) -> str:
         return os.path.join(self._table_dir(name), "_latest")
+
+    def _manifest_path(self, name: str, version: int) -> str:
+        return os.path.join(self._table_dir(name), "manifests", f"v={version}.json")
 
     def current_version(self, name: str) -> int | None:
         p = self._latest_file(name)
@@ -50,18 +80,105 @@ class Catalog:
         with open(p) as f:
             return int(f.read().strip())
 
-    def _snapshot_path(self, name: str, version: int) -> str:
-        return os.path.join(self._table_dir(name), f"v={version}")
-
     def exists(self, name: str) -> bool:
         return self.current_version(name) is not None
 
-    # -- reads -------------------------------------------------------------
-    def read(self, name: str, version: int | None = None) -> DataFrame:
+    # -- manifests -----------------------------------------------------------
+    def _manifest(self, name: str, version: int | None = None) -> dict:
         v = self.current_version(name) if version is None else version
         if v is None:
             raise FileNotFoundError(f"table {name} does not exist in {self.warehouse}")
-        return self.spark.read.parquet(self._snapshot_path(name, v))
+        with open(self._manifest_path(name, v)) as f:
+            return json.load(f)
+
+    def _commit_manifest(
+        self,
+        name: str,
+        entries: list[dict],
+        schema: StructType,
+        bucketing: dict | None,
+    ) -> int:
+        """Write manifest v=n+1 and flip the pointer atomically. The
+        only mutation a commit ever makes — data dirs are immutable."""
+        os.makedirs(os.path.join(self._table_dir(name), "manifests"), exist_ok=True)
+        prev = self.current_version(name)
+        new_v = 0 if prev is None else prev + 1
+        manifest = {
+            "table": name,
+            "version": new_v,
+            "committed_at": time.time(),
+            "schema": json.loads(schema.json()),
+            "bucketing": bucketing,
+            "entries": entries,
+        }
+        with open(self._manifest_path(name, new_v), "w") as f:
+            json.dump(manifest, f)
+        tmp = self._latest_file(name) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(new_v))
+        os.replace(tmp, self._latest_file(name))  # atomic pointer flip
+        return new_v
+
+    # -- data-dir writes (immutable) ------------------------------------------
+    def _write_data(
+        self,
+        df: DataFrame,
+        name: str,
+        run_id: str | None,
+        bucketing: dict | None,
+    ) -> list[dict]:
+        """Write df into a fresh immutable data dir; return its manifest
+        entries (one per bucket subdir when bucketed)."""
+        rel = os.path.join("data", f"c-{uuid.uuid4().hex[:12]}")
+        path = os.path.join(self._table_dir(name), rel)
+        if bucketing:
+            keys, n = bucketing["keys"], bucketing["n_buckets"]
+            out = df.withColumn(_BUCKET_COL, bucket_expr(keys, n))
+            # one shuffle task per bucket → one file per bucket dir
+            out.repartition(n, _BUCKET_COL).write.partitionBy(_BUCKET_COL).mode(
+                "overwrite"
+            ).parquet(path)
+            entries = []
+            if os.path.isdir(path):
+                for d in sorted(os.listdir(path)):
+                    if d.startswith(f"{_BUCKET_COL}="):
+                        entries.append({
+                            "path": os.path.join(rel, d),
+                            "bucket": int(d.split("=", 1)[1]),
+                            "run_id": run_id,
+                        })
+            return entries
+        df.write.mode("overwrite").parquet(path)
+        return [{"path": rel, "bucket": None, "run_id": run_id}]
+
+    def _merge_schema(self, prev: StructType, new: StructType) -> StructType:
+        """Union of columns (append-with-missing-columns support); type
+        conflicts fail loudly rather than corrupt the table."""
+        fields = {f.name: f for f in prev.fields}
+        out = list(prev.fields)
+        for f in new.fields:
+            if f.name not in fields:
+                out.append(f)
+            elif fields[f.name].dataType != f.dataType:
+                raise ValueError(
+                    f"schema conflict on {f.name}: "
+                    f"{fields[f.name].dataType} vs {f.dataType}"
+                )
+        return StructType(out)
+
+    # -- reads -----------------------------------------------------------------
+    def read(self, name: str, version: int | None = None) -> DataFrame:
+        """One multi-root FileScan over every live data dir — never a
+        union of N plans, so read cost doesn't grow with commit count.
+        Older files missing later-added columns surface them as null
+        (the manifest carries the authoritative merged schema)."""
+        m = self._manifest(name, version)
+        schema = StructType.fromJson(m["schema"])
+        paths = [os.path.join(self._table_dir(name), e["path"]) for e in m["entries"]]
+        paths = [p for p in paths if os.path.isdir(p)]
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*paths)
 
     def read_or_empty(self, name: str, schema) -> DataFrame:
         if self.exists(name):
@@ -69,36 +186,24 @@ class Catalog:
         return self.spark.createDataFrame([], schema)
 
     # -- writes ------------------------------------------------------------
-    def _commit(self, df: DataFrame, name: str) -> int:
-        """Write df as a new snapshot and flip the pointer atomically."""
-        os.makedirs(self._table_dir(name), exist_ok=True)
-        prev = self.current_version(name)
-        new_v = 0 if prev is None else prev + 1
-        path = self._snapshot_path(name, new_v)
-        df.write.mode("overwrite").parquet(path)
-        tmp = self._latest_file(name) + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(new_v))
-        os.replace(tmp, self._latest_file(name))  # atomic pointer flip
-        self._write_manifest(name, new_v)
-        return new_v
+    def overwrite(self, df: DataFrame, name: str, run_id: str | None = None) -> int:
+        entries = self._write_data(df, name, run_id, bucketing=None)
+        return self._commit_manifest(name, entries, df.schema, bucketing=None)
 
-    def _write_manifest(self, name: str, version: int) -> None:
-        manifest = {
-            "table": name,
-            "version": version,
-            "committed_at": time.time(),
-        }
-        with open(os.path.join(self._snapshot_path(name, version), "_manifest.json"), "w") as f:
-            json.dump(manifest, f)
-
-    def overwrite(self, df: DataFrame, name: str) -> int:
-        return self._commit(df, name)
-
-    def append(self, df: DataFrame, name: str) -> int:
-        if self.exists(name):
-            df = self.read(name).unionByName(df, allowMissingColumns=True)
-        return self._commit(df, name)
+    def append(self, df: DataFrame, name: str, run_id: str | None = None) -> int:
+        """O(delta): writes only df's rows; prior entries carried
+        forward by reference. A bucketed table keeps its bucketing
+        (appended rows are bucketed the same way, so merge_upsert
+        stays partition-prunable)."""
+        if not self.exists(name):
+            return self.overwrite(df, name, run_id=run_id)
+        m = self._manifest(name)
+        bucketing = m.get("bucketing")
+        schema = self._merge_schema(StructType.fromJson(m["schema"]), df.schema)
+        new_entries = self._write_data(df, name, run_id, bucketing)
+        return self._commit_manifest(
+            name, m["entries"] + new_entries, schema, bucketing
+        )
 
     def merge_upsert(
         self,
@@ -106,20 +211,59 @@ class Catalog:
         name: str,
         keys: list[str],
         order_col: str | None = None,
+        n_buckets: int = 32,
+        run_id: str | None = None,
     ) -> int:
         """``MERGE INTO <name> USING updates ON keys WHEN MATCHED THEN
         UPDATE WHEN NOT MATCHED THEN INSERT`` — last-writer-wins per key
         (reference db.py:41-53 MERGE+SET semantics).
 
-        ``order_col``: column ranking writer recency; updates beat the
-        existing rows, and among duplicate update rows the max
-        ``order_col`` wins deterministically (reference behavior is
-        "whatever arrived last in the loop"; ours must be order-free).
+        O(touched buckets): the base is hash-bucketed on ``keys``;
+        only buckets containing an updated key are read, merged, and
+        rewritten — every other bucket's files move to the new
+        manifest by reference. ``order_col`` ranks writer recency;
+        updates beat existing rows, and among duplicate update rows
+        the max ``order_col`` wins deterministically.
         """
+        bucketing = {"keys": keys, "n_buckets": n_buckets}
         if not self.exists(name):
-            base = updates.limit(0)
-        else:
+            merged = self._lww(updates.limit(0), updates, keys, order_col)
+            entries = self._write_data(merged, name, run_id, bucketing)
+            return self._commit_manifest(name, entries, merged.schema, bucketing)
+
+        m = self._manifest(name)
+        schema = self._merge_schema(StructType.fromJson(m["schema"]), updates.schema)
+        if m.get("bucketing") != bucketing:
+            # one-time migration: legacy/unbucketed (or re-keyed) table
+            # → full rewrite into bucketed form; O(table), documented.
             base = self.read(name)
+            merged = self._lww(base, updates, keys, order_col)
+            entries = self._write_data(merged, name, run_id, bucketing)
+            return self._commit_manifest(name, entries, schema, bucketing)
+
+        ups = updates.withColumn(_BUCKET_COL, bucket_expr(keys, n_buckets))
+        touched = sorted(
+            r[0] for r in ups.select(_BUCKET_COL).distinct().collect()
+        )  # ≤ n_buckets small ints — not a data collect
+        touched_set = set(touched)
+        carried = [e for e in m["entries"] if e["bucket"] not in touched_set]
+        base_paths = [
+            os.path.join(self._table_dir(name), e["path"])
+            for e in m["entries"]
+            if e["bucket"] in touched_set
+        ]
+        base_paths = [p for p in base_paths if os.path.isdir(p)]
+        base_schema = StructType.fromJson(m["schema"])
+        if base_paths:
+            base = self.spark.read.schema(base_schema).parquet(*base_paths)
+        else:
+            base = self.spark.createDataFrame([], base_schema)
+        merged = self._lww(base, updates, keys, order_col)
+        new_entries = self._write_data(merged, name, run_id, bucketing)
+        return self._commit_manifest(name, carried + new_entries, schema, bucketing)
+
+    @staticmethod
+    def _lww(base: DataFrame, updates: DataFrame, keys: list[str], order_col: str | None) -> DataFrame:
         base = base.withColumn("__gen", F.lit(0))
         ups = updates.withColumn("__gen", F.lit(1))
         order_expr = (
@@ -128,7 +272,7 @@ class Catalog:
             else F.struct(F.col("__gen"))
         )
         cols = [c for c in ups.columns if c != "__gen"]
-        merged = (
+        return (
             base.unionByName(ups, allowMissingColumns=True)
             .groupBy(*keys)
             .agg(
@@ -138,7 +282,72 @@ class Catalog:
             )
             .select(*keys, "__row.*")
         )
-        return self._commit(merged, name)
+
+    # -- recovery / maintenance ------------------------------------------------
+    def prune_orphan_runs(self, name: str, committed_run_ids: set[str]) -> int:
+        """Heal a crash between a table commit and its checkpoint-state
+        commit: drop entries whose run_id never reached the state table
+        (their conv_ids are still pending, so resume reprocesses them
+        exactly once). Manifest-only — O(entries), zero data IO.
+        Returns the number of entries dropped."""
+        if not self.exists(name):
+            return 0
+        m = self._manifest(name)
+        keep = [
+            e for e in m["entries"]
+            if e.get("run_id") is None or e["run_id"] in committed_run_ids
+        ]
+        dropped = len(m["entries"]) - len(keep)
+        if dropped:
+            self._commit_manifest(
+                name, keep, StructType.fromJson(m["schema"]), m.get("bucketing")
+            )
+        return dropped
+
+    def n_entries(self, name: str) -> int:
+        return len(self._manifest(name)["entries"])
+
+    def compact(self, name: str, run_id: str | None = None) -> int:
+        """Rewrite the live snapshot into one data dir (amortized table
+        maintenance — the LSM/Iceberg rewrite_data_files analog). Old
+        versions stay readable until vacuum."""
+        m = self._manifest(name)
+        df = self.read(name)
+        bucketing = m.get("bucketing")
+        entries = self._write_data(df, name, run_id, bucketing)
+        return self._commit_manifest(
+            name, entries, StructType.fromJson(m["schema"]), bucketing
+        )
+
+    def maybe_compact(self, name: str, max_entries: int = 64) -> bool:
+        if self.exists(name) and self.n_entries(name) > max_entries:
+            self.compact(name)
+            return True
+        return False
+
+    def vacuum(self, name: str, keep_versions: int = 1) -> int:
+        """Delete data dirs referenced by no retained manifest. Returns
+        the number of dirs removed. Keeps the last ``keep_versions``
+        manifests' data (time travel horizon)."""
+        v = self.current_version(name)
+        if v is None:
+            return 0
+        live: set[str] = set()
+        retained = range(max(0, v - keep_versions + 1), v + 1)
+        for rv in retained:
+            if os.path.exists(self._manifest_path(name, rv)):
+                for e in self._manifest(name, rv)["entries"]:
+                    # a bucketed entry's dir lives under its commit dir
+                    top = e["path"].split(os.sep)
+                    live.add(os.path.join(top[0], top[1]))
+        data_dir = os.path.join(self._table_dir(name), "data")
+        removed = 0
+        if os.path.isdir(data_dir):
+            for d in os.listdir(data_dir):
+                if os.path.join("data", d) not in live:
+                    shutil.rmtree(os.path.join(data_dir, d))
+                    removed += 1
+        return removed
 
     def drop(self, name: str) -> None:
         d = self._table_dir(name)

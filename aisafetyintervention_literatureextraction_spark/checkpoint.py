@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .catalog import Catalog
-from .schemas import CKPT_LINEAGE, CKPT_METRICS, CKPT_STAGE_STATE
+from .schemas import CKPT_METRICS
 
 STATE = "_ckpt_stage_state"
 LINEAGE = "_ckpt_lineage"
@@ -48,17 +48,36 @@ def pending(catalog: Catalog, stage: str, inp: DataFrame, key: str = "conv_id") 
 def mark_processed(
     catalog: Catalog, stage: str, run_id: str, conv_ids: DataFrame, key: str = "conv_id"
 ) -> None:
+    """The COMMIT POINT of a stage run: a run's output-table entries
+    are considered committed iff its run_id appears in the state table
+    (see ``reconcile``) — so this must be the LAST catalog write of
+    the stage's exactly-once window."""
     rows = conv_ids.select(
         F.lit(stage).alias("stage"),
         F.col(key).cast("string").alias("conv_id"),
         F.lit(run_id).alias("run_id"),
     )
-    if catalog.exists(STATE):
-        catalog.append(rows, STATE)
-    else:
-        catalog.overwrite(
-            rows if rows.schema == CKPT_STAGE_STATE else rows, STATE
-        )
+    catalog.append(rows, STATE)
+
+
+def committed_run_ids(catalog: Catalog) -> set[str]:
+    """run_ids whose stage reached its mark_processed commit point."""
+    if not catalog.exists(STATE):
+        return set()
+    return {r[0] for r in catalog.read(STATE).select("run_id").distinct().collect()}
+
+
+def reconcile(catalog: Catalog, output_tables: list[str]) -> dict[str, int]:
+    """Heal a crash between an output-table commit and its stage-state
+    commit: drop orphaned manifest entries (runs that never reached
+    mark_processed), so resume reprocesses their conv_ids exactly once
+    instead of duplicating rows. O(manifests), zero data IO."""
+    committed = committed_run_ids(catalog)
+    return {
+        t: catalog.prune_orphan_runs(t, committed)
+        for t in output_tables
+        if catalog.exists(t)
+    }
 
 
 def write_lineage(
@@ -82,10 +101,7 @@ def write_lineage(
             "conv_id_min", "conv_id_max", "n_rows",
         )
     )
-    if catalog.exists(LINEAGE):
-        catalog.append(lin, LINEAGE)
-    else:
-        catalog.overwrite(lin, LINEAGE)
+    catalog.append(lin, LINEAGE)
 
 
 def write_metrics(catalog: Catalog, stage: str, run_id: str, metrics: dict) -> None:
@@ -95,7 +111,4 @@ def write_metrics(catalog: Catalog, stage: str, run_id: str, metrics: dict) -> N
         for k, v in {**metrics, "wall_ts": time.time()}.items()
     ]
     df = spark.createDataFrame(rows, schema=CKPT_METRICS)
-    if catalog.exists(METRICS):
-        catalog.append(df, METRICS)
-    else:
-        catalog.overwrite(df, METRICS)
+    catalog.append(df, METRICS)

@@ -45,22 +45,20 @@ class PipelineConfig:
 def stage_a_reassemble(cat: Catalog, transcripts: DataFrame, cfg: PipelineConfig) -> DataFrame:
     run_id = ckpt.new_run_id()
     t0 = time.time()
+    if cfg.resume:
+        # heal any crash between output commits and the state commit
+        # (manifest-level, O(entries)) before computing the pending set
+        ckpt.reconcile(cat, ["documents", "quarantine"])
     inp = ckpt.pending(cat, "A_reassemble", transcripts) if cfg.resume else transcripts
     res = reassemble(inp, salt_segment=cfg.salt_segment)
     docs = res.documents
     quarantine = res.quarantine.persist()  # reused: write + mark_processed
-    if cat.exists("documents"):
-        cat.append(docs, "documents")
-    else:
-        cat.overwrite(docs, "documents")
+    cat.append(docs, "documents", run_id=run_id)
     if cat.exists("quarantine") or quarantine.limit(1).count() > 0:
-        if cat.exists("quarantine"):
-            cat.append(quarantine, "quarantine")
-        else:
-            cat.overwrite(quarantine, "quarantine")
+        cat.append(quarantine, "quarantine", run_id=run_id)
     out = cat.read("documents")
     processed = docs.select("conv_id").union(quarantine.select("conv_id")).distinct()
-    ckpt.mark_processed(cat, "A_reassemble", run_id, processed)
+    ckpt.mark_processed(cat, "A_reassemble", run_id, processed)  # commit point
     quarantine.unpersist()
     ckpt.write_lineage(cat, "A_reassemble", run_id, out)
     ckpt.write_metrics(cat, "A_reassemble", run_id, {
@@ -72,17 +70,16 @@ def stage_a_reassemble(cat: Catalog, transcripts: DataFrame, cfg: PipelineConfig
 def stage_b_extract(cat: Catalog, cfg: PipelineConfig) -> tuple[DataFrame, DataFrame]:
     run_id = ckpt.new_run_id()
     t0 = time.time()
+    if cfg.resume:
+        ckpt.reconcile(cat, ["triples_raw", "nodes_raw"])
     docs = cat.read("documents")
     pending_docs = ckpt.pending(cat, "B_extract", docs) if cfg.resume else docs
     pending_docs = pending_docs.persist()
     triples = extract_triples(pending_docs, engine=cfg.extract_engine)
     nodes = extract_nodes(pending_docs, engine=cfg.extract_engine)
-    for name, df in [("triples_raw", triples), ("nodes_raw", nodes)]:
-        if cat.exists(name):
-            cat.append(df, name)
-        else:
-            cat.overwrite(df, name)
-    ckpt.mark_processed(cat, "B_extract", run_id, pending_docs.select("conv_id"))
+    cat.append(triples, "triples_raw", run_id=run_id)
+    cat.append(nodes, "nodes_raw", run_id=run_id)
+    ckpt.mark_processed(cat, "B_extract", run_id, pending_docs.select("conv_id"))  # commit point
     triples_all = cat.read("triples_raw")
     ckpt.write_lineage(cat, "B_extract", run_id, triples_all)
     n_triples = triples_all.count()
@@ -149,6 +146,10 @@ def run_pipeline(
     stage_b_extract(cat, cfg)
     stage_c_canonicalize(cat, cfg)
     stage_d_materialize(cat, cfg)
+    # table maintenance: bound manifest growth on the append-heavy
+    # bookkeeping tables (amortized — fires once per ~64 commits)
+    for t in (ckpt.STATE, ckpt.LINEAGE, ckpt.METRICS):
+        cat.maybe_compact(t)
     wall = time.time() - t0
     n_triples = cat.read("triples_raw").count()
     return {
