@@ -8,12 +8,18 @@ components is the order-independent closure of the same intent and is
 what the north rule prescribes ("GraphFrames-style iterative hash-join
 label propagation").
 
-Algorithm: min-label propagation to fixpoint —
-    comp(v) ← min(comp(v), min over neighbors u of comp(u))
-Each iteration is one shuffle (edges ⋈ labels, groupBy-min); lineage
-is truncated per iteration with ``localCheckpoint`` so the plan does
-not grow unboundedly (SURVEY.md §4.2); convergence = zero changed
-labels (an aggregate, not a collect of the data).
+Algorithm: min-label propagation with POINTER JUMPING to fixpoint —
+    comp(v) ← min(comp(v), min over neighbors u of comp(u))   (hop)
+    comp(v) ← min(comp(v), comp(comp(v)))                     (jump)
+The jump step halves chain depth every iteration (path-doubling), so a
+diameter-D chain converges in O(log D) iterations instead of O(D) —
+the property that makes long near-dup chains safe at corpus scale
+(ADVICE r1: plain propagation silently hit max_iter on them). Each
+iteration is two shuffles; lineage is truncated per iteration with
+``localCheckpoint`` so the plan does not grow unboundedly (SURVEY.md
+§4.2); convergence = zero changed labels (an aggregate, not a collect
+of the data). Non-convergence within ``max_iter`` raises instead of
+silently returning wrong labels.
 """
 
 from __future__ import annotations
@@ -41,23 +47,47 @@ def connected_components(
         F.col("node_id"), F.col("node_id").alias("component_id")
     ).localCheckpoint(eager=True)
 
+    converged = False
     for i in range(max_iter):
-        # messages: every edge forwards the source's current label
+        # hop: every edge forwards the source's current label
         msgs = (
             sym.join(labels, sym.src == labels.node_id)
             .select(F.col("dst").alias("node_id"), F.col("component_id"))
             .groupBy("node_id")
             .agg(F.min("component_id").alias("nbr_min"))
         )
-        new_labels = (
+        hopped = (
             labels.join(msgs, "node_id", "left")
             .select(
                 "node_id",
                 F.least(
                     F.col("component_id"), F.coalesce(F.col("nbr_min"), F.col("component_id"))
                 ).alias("component_id"),
-                (F.coalesce(F.col("nbr_min"), F.col("component_id")) < F.col("component_id"))
-                .alias("changed"),
+            )
+        )
+        # jump: comp(v) ← comp(comp(v)) — labels are always node ids,
+        # so the self-join resolves one indirection per iteration and
+        # compounds with the hop into path doubling
+        parent = hopped.select(
+            F.col("node_id").alias("component_id"),
+            F.col("component_id").alias("grand"),
+        )
+        jumped = (
+            hopped.join(parent, "component_id", "left")
+            .select(
+                "node_id",
+                F.least(
+                    F.col("component_id"), F.coalesce(F.col("grand"), F.col("component_id"))
+                ).alias("component_id"),
+            )
+        )
+        new_labels = (
+            jumped.join(
+                labels.select("node_id", F.col("component_id").alias("prev")), "node_id"
+            )
+            .select(
+                "node_id", "component_id",
+                (F.col("component_id") != F.col("prev")).alias("changed"),
             )
         )
         if (i + 1) % checkpoint_every == 0:
@@ -65,5 +95,12 @@ def connected_components(
         n_changed = new_labels.filter(F.col("changed")).count()
         labels = new_labels.drop("changed")
         if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "iterations — labels would be wrong; raise max_iter (convergence is "
+            "O(log diameter) with pointer jumping)"
+        )
     return labels

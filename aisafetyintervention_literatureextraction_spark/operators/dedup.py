@@ -161,20 +161,34 @@ def simhash_near_duplicates(
 
 def dedup_keep_first(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Resolve near-dup pairs into a keep-set via connected components
-    (min doc survives each component) — order-independent, unlike
-    greedy sequential dropping."""
+    — order-independent, unlike greedy sequential dropping.
+
+    Integral ids: the min doc_id survives each component. Non-integral
+    ids (e.g. string URLs) are mapped through xxhash64 consistently on
+    BOTH the vertex and pair sides — a silent ``cast("long")`` would
+    null them and keep everything (ADVICE r1) — so the survivor is the
+    deterministic min-hash member of each component."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
     from .components import connected_components
 
-    verts = docs.select(F.col(id_col).cast("long").alias("node_id"))
-    comps = connected_components(verts, pairs.select("a_id", "b_id"))
+    integral = isinstance(
+        docs.schema[id_col].dataType, (ByteType, ShortType, IntegerType, LongType)
+    )
+
+    def to_vertex(c: F.Column) -> F.Column:
+        return c.cast("long") if integral else F.xxhash64(c.cast("string"))
+
+    verts = docs.select(to_vertex(F.col(id_col)).alias("node_id"))
+    p = pairs.select(
+        to_vertex(F.col("a_id")).alias("a_id"), to_vertex(F.col("b_id")).alias("b_id")
+    )
+    comps = connected_components(verts, p)
     return (
-        docs.join(
-            comps.withColumnRenamed("node_id", id_col),
-            id_col,
-            "left",
-        )
+        docs.withColumn("__vid", to_vertex(F.col(id_col)))
+        .join(comps.withColumnRenamed("node_id", "__vid"), "__vid", "left")
         .filter(
-            F.col("component_id").isNull() | (F.col(id_col) == F.col("component_id"))
+            F.col("component_id").isNull() | (F.col("__vid") == F.col("component_id"))
         )
-        .drop("component_id")
+        .drop("__vid", "component_id")
     )

@@ -66,7 +66,25 @@ MENTION_RE = r"\[([^\]]*)\]"
 
 
 def _split_aliases(s: pd.Series) -> pd.Series:
-    return s.map(lambda a: [] if a == "none" else [x for x in a.split(" / ") if x])
+    """Vectorized alias split: '.str.split' for the whole batch; the
+    rare degenerate rows ('none' marker, empty fragments from adjacent
+    separators) are patched by mask, so the hot path has no per-row
+    lambda (input_hint: "no per-row Python")."""
+    out = s.str.split(" / ")
+    none_mask = s.eq("none")
+    if none_mask.any():
+        out.loc[none_mask] = pd.Series(
+            [[]] * int(none_mask.sum()), index=out.index[none_mask]
+        )
+    dirty = ~none_mask & (
+        s.eq("")
+        | s.str.startswith(" / ")
+        | s.str.endswith(" / ")
+        | s.str.contains(" /  / ", regex=False)
+    )
+    if dirty.any():
+        out.loc[dirty] = out.loc[dirty].map(lambda xs: [x for x in xs if x])
+    return out
 
 
 # =========================== arrow engine ===================================
@@ -282,37 +300,49 @@ def extract_nodes(documents: DataFrame, engine: str = "arrow") -> DataFrame:
     )
 
 
+# Per-row mention+span extraction, entirely JVM-side: one aggregate
+# over split('[') parts carries a running character offset (each part
+# k ≥ 1 starts at Σ len(parts[j<k]) + k separator chars), so spans
+# come out of the same pass that finds the mentions — no second scan,
+# no Python. span_start = 0-based offset of the mention's first char;
+# span_end = exclusive end: substring(doc_text, span_start+1,
+# span_end-span_start) == mention (mentions-table contract,
+# SURVEY.md:169; reference highlights/attribution consumers).
+_MENTION_SPANS_EXPR = r"""
+transform(
+  filter(
+    aggregate(
+      split(doc_text, '\\['),
+      named_struct(
+        'acc', cast(array() as array<struct<p:string,off:int>>),
+        'pos', 0,
+        'k', 0),
+      (s, p) -> named_struct(
+        'acc', if(s.k = 0, s.acc,
+                  array_append(s.acc, named_struct('p', p, 'off', s.pos))),
+        'pos', cast(s.pos + length(p) + 1 as int),
+        'k', s.k + 1),
+      s -> s.acc),
+    x -> instr(x.p, ']') > 0),
+  x -> named_struct(
+    'mention', substring(x.p, 1, instr(x.p, ']') - 1),
+    'span_start', x.off,
+    'span_end', cast(x.off + instr(x.p, ']') - 1 as int))
+)
+"""
+
+
 def extract_mentions(documents: DataFrame) -> DataFrame:
     """Mention detection: every bracket-delimited node reference with
-    its character span — JVM-side via regexp_instr-free composition
-    (split + running lengths)."""
-    # positions via aggregate over split parts: span_start of k-th
-    # mention = len(parts[0..k]) + k separators
-    parts = F.split(F.col("doc_text"), r"\[")
-    mentions = documents.select(
+    its character span (0-based start, exclusive end), computed
+    JVM-side in one pass over the split parts."""
+    return documents.select(
         "conv_id",
-        F.posexplode(
-            F.expr(
-                r"""
-                transform(
-                  filter(
-                    zip_with(
-                      split(doc_text, '\\['),
-                      sequence(0, size(split(doc_text, '\\[')) - 1),
-                      (p, i) -> struct(i as i, p as p)
-                    ),
-                    x -> x.i > 0 AND instr(x.p, ']') > 0
-                  ),
-                  x -> substring(x.p, 1, instr(x.p, ']') - 1)
-                )
-                """
-            )
-        ).alias("m_idx", "mention"),
-    )
-    return mentions.select(
+        F.posexplode(F.expr(_MENTION_SPANS_EXPR)).alias("m_idx", "m"),
+    ).select(
         "conv_id",
-        "mention",
+        F.col("m.mention").alias("mention"),
         F.lit("node_ref").alias("mtype"),
-        F.lit(None).cast("int").alias("span_start"),
-        F.lit(None).cast("int").alias("span_end"),
+        F.col("m.span_start").alias("span_start"),
+        F.col("m.span_end").alias("span_end"),
     )

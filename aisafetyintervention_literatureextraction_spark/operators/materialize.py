@@ -169,10 +169,13 @@ def materialize(
         labeled.groupBy("component_id")
         .agg(
             # representative: most frequently asserted name, ties → lexic. min
-            F.max_by(
+            # (min_by over (-count, name): min of -count = max count, then
+            # the lexicographically smallest name — ADVICE r1 fixed the
+            # max_by variant that picked the GREATEST name on ties)
+            F.min_by(
                 F.struct("name", "type", "description", "concept_category",
                          "intervention_lifecycle", "intervention_maturity"),
-                F.struct(F.col("n_occurrences"), F.col("name")),
+                F.struct((-F.col("n_occurrences")).alias("neg_n"), F.col("name")),
             ).alias("rep"),
             F.array_sort(
                 F.array_distinct(

@@ -76,6 +76,8 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
     """binary payload → feature vector via Arrow batches."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         decoder = "real" if _HAS_CODECS else "stub-sha256"
         for pdf in batches:
             if len(pdf) == 0:
@@ -85,9 +87,19 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
                     "real decoder wiring: PIL decode → resize → model; "
                     "not available in this container"
                 )
+            # the digest is per-row by nature (so is a real image
+            # decode — that's the correct batch shape for this stage);
+            # the digest→feature expansion is one numpy op per batch
+            digs = np.stack([
+                np.frombuffer(hashlib.sha256(p).digest(), dtype=np.uint8)
+                if p is not None else np.zeros(32, dtype=np.uint8)
+                for p in pdf["payload"]
+            ])
+            feats = (digs[:, np.arange(dim) % 32] / 255.0) * 2.0 - 1.0
+            feats[pdf["payload"].isna().to_numpy()] = 0.0  # _stub_feature None contract
             yield pd.DataFrame({
-                "media_id": pdf["media_id"],
-                "feature": pdf["payload"].map(lambda p: _stub_feature(p, dim)),
+                "media_id": pdf["media_id"].to_numpy(),
+                "feature": list(feats.astype(np.float32)),
                 "decoder": decoder,
             })
 

@@ -34,11 +34,13 @@ def get_spark(
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
     builder = SparkSession.builder.appName(app_name)
-    # respect an externally-provided master (spark-submit --master on a
-    # real cluster); fall back to local[cpus] for direct python runs
-    from pyspark import SparkConf
-
-    if SparkConf().get("spark.master", None) is None:
+    # Respect an externally-provided master (spark-submit --master on a
+    # real cluster); fall back to local[cpus] for direct python runs.
+    # Probing SparkConf() pre-JVM is useless (it's an empty dict before
+    # the gateway exists), so detect spark-submit by the env vars
+    # PythonRunner sets when IT launches the driver python process.
+    submitted = "PYSPARK_GATEWAY_PORT" in os.environ or "SPARK_CONNECT_MODE_ENABLED" in os.environ
+    if not submitted:
         builder = builder.master(f"local[{cpus}]")
     builder = (
         builder

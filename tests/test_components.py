@@ -46,6 +46,30 @@ def test_no_edges_identity(spark):
     assert got == [[0], [1], [2], [3]]
 
 
+def test_pointer_jumping_logarithmic(spark):
+    """Diameter-255 chain must converge in O(log D) iterations — the
+    pointer-jump step doubles resolved depth per round, so max_iter=12
+    suffices where plain hop-propagation would need 255 (ADVICE r1:
+    long near-dup chains silently hit max_iter)."""
+    n = 256
+    v = spark.createDataFrame([(i,) for i in range(n)], "node_id long")
+    e = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "a_id long, b_id long")
+    comps = connected_components(v, e, max_iter=12)
+    assert {r["component_id"] for r in comps.collect()} == {0}
+
+
+def test_nonconvergence_raises(spark):
+    """Hitting max_iter with labels still moving must fail loudly, not
+    return wrong labels."""
+    import pytest
+
+    n = 64
+    v = spark.createDataFrame([(i,) for i in range(n)], "node_id long")
+    e = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "a_id long, b_id long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(v, e, max_iter=1)
+
+
 def test_component_id_is_min_node(spark):
     v = spark.createDataFrame([(10,), (7,), (3,)], "node_id long")
     e = spark.createDataFrame([(10, 7), (7, 3)], "a_id long, b_id long")

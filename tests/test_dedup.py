@@ -90,3 +90,21 @@ def test_exact_dedup_on_testdata(docs):
         .agg(F.sum(F.col("count") - 1)).collect()[0][0] or 0
     )
     assert via_hash == via_text
+
+
+def test_dedup_keep_first_string_ids(spark):
+    """String doc ids must not silently cast to NULL vertices (ADVICE
+    r1): they are xxhash64-mapped consistently on both sides, so each
+    dup component keeps exactly one member and uniques survive."""
+    rows = [
+        ("url_a", "same text"),
+        ("url_b", "same text"),
+        ("url_c", "different text entirely"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    pairs = spark.createDataFrame([("url_a", "url_b")], "a_id string, b_id string")
+    kept = dedup_keep_first(docs, pairs)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert "url_c" in ids
+    assert len(ids) == 2  # one survivor of {a,b} + the unique doc
+    assert len(ids & {"url_a", "url_b"}) == 1

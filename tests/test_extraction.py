@@ -114,3 +114,32 @@ def test_mentions(documents):
     names = {r["mention"] for r in golden.collect()}
     # every golden node name is mentioned (declaration + edge refs)
     assert set(GOLDEN_NODES).issubset(names)
+
+
+def test_mention_spans_exact(spark):
+    """span_start/span_end are real character offsets: the doc slice at
+    [span_start, span_end) reproduces each mention byte-for-byte, at
+    exact positions (mentions-table contract, SURVEY.md:169)."""
+    doc = "x[alpha] mid [beta]y [no-close"
+    df = spark.createDataFrame([("c", doc)], "conv_id string, doc_text string")
+    rows = sorted(
+        extract_mentions(df).collect(), key=lambda r: r["span_start"]
+    )
+    assert [(r["mention"], r["span_start"], r["span_end"]) for r in rows] == [
+        ("alpha", 2, 7), ("beta", 14, 18),
+    ]
+    for r in rows:
+        assert doc[r["span_start"]:r["span_end"]] == r["mention"]
+
+
+def test_mention_spans_on_corpus(documents):
+    """Every extracted span reconstructs its mention on the full test
+    corpus (all docs, all mentions)."""
+    m = extract_mentions(documents)
+    joined = m.join(documents, "conv_id").withColumn(
+        "ok",
+        F.expr("substring(doc_text, span_start + 1, span_end - span_start)")
+        == F.col("mention"),
+    )
+    assert joined.filter(~F.col("ok")).count() == 0
+    assert m.filter(F.col("span_start").isNull()).count() == 0
