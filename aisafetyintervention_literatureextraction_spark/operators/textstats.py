@@ -9,8 +9,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import simhash64
-from ..functions.text import char_shingles, tokenize
+from ..functions.hashing import simhash64_text
+from ..functions.text import tokenize
 
 # tiny per-language stopword marker sets (n-gram heuristic language ID)
 _LANG_MARKERS = {
@@ -113,5 +113,5 @@ def fingerprint(docs: DataFrame, text_col: str = "text", shingle_k: int = 4) -> 
     """64-bit rolling content fingerprint (SimHash over char shingles)
     — stable under small edits; the dedup/bucketing key."""
     return docs.withColumn(
-        "fingerprint", simhash64(char_shingles(F.col(text_col), shingle_k))
+        "fingerprint", simhash64_text(F.col(text_col), shingle_k)
     )
