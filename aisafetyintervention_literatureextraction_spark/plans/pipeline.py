@@ -30,6 +30,7 @@ from ..operators.extraction import extract_nodes, extract_triples
 from ..operators.materialize import materialize
 from ..operators.reassembly import reassemble
 from ..session import get_spark
+from ..sources.extraction_json import validate_nodes, validate_triples
 
 
 @dataclass
@@ -71,15 +72,38 @@ def stage_b_extract(cat: Catalog, cfg: PipelineConfig) -> tuple[DataFrame, DataF
     run_id = ckpt.new_run_id()
     t0 = time.time()
     if cfg.resume:
-        ckpt.reconcile(cat, ["triples_raw", "nodes_raw"])
+        ckpt.reconcile(cat, [
+            "triples_raw", "nodes_raw", "raw_inputs",
+            "quarantine_triples", "quarantine_nodes",
+        ])
     docs = cat.read("documents")
     pending_docs = ckpt.pending(cat, "B_extract", docs) if cfg.resume else docs
     pending_docs = pending_docs.persist()
-    triples = extract_triples(pending_docs, engine=cfg.extract_engine)
-    nodes = extract_nodes(pending_docs, engine=cfg.extract_engine)
-    cat.append(triples, "triples_raw", run_id=run_id)
-    cat.append(nodes, "nodes_raw", run_id=run_id)
+    # K2 raw-input audit: persist the batch EXACTLY as handed to
+    # extraction (reference extract.py:77-80 keeps the raw response per
+    # paper for replay; ours keeps the pre-extraction document) — the
+    # replay contract is re-extracting from raw_inputs reproduces
+    # triples_raw byte-identically (tested).
+    cat.append(
+        pending_docs.select(
+            F.lit(run_id).alias("run_id"), "conv_id", "n_turns", "doc_text"
+        ),
+        "raw_inputs", run_id=run_id,
+    )
+    # extraction outputs are cached: validation routing consumes each
+    # twice (valid + quarantine appends) and extraction is the
+    # expensive part of this stage
+    triples = extract_triples(pending_docs, engine=cfg.extract_engine).persist()
+    nodes = extract_nodes(pending_docs, engine=cfg.extract_engine).persist()
+    t_ok, t_bad = validate_triples(triples)
+    n_ok, n_bad = validate_nodes(nodes)
+    cat.append(t_ok, "triples_raw", run_id=run_id)
+    cat.append(n_ok, "nodes_raw", run_id=run_id)
+    cat.append(t_bad, "quarantine_triples", run_id=run_id)   # F9 routed,
+    cat.append(n_bad, "quarantine_nodes", run_id=run_id)     # not raised
     ckpt.mark_processed(cat, "B_extract", run_id, pending_docs.select("conv_id"))  # commit point
+    triples.unpersist()
+    nodes.unpersist()
     triples_all = cat.read("triples_raw")
     ckpt.write_lineage(cat, "B_extract", run_id, triples_all)
     n_triples = triples_all.count()

@@ -171,6 +171,36 @@ def read_output_json_b(spark: SparkSession, path: str) -> tuple[DataFrame, DataF
     return nodes, triples
 
 
+def read_suggested_types(spark: SparkSession, path: str) -> DataFrame:
+    """Variant-B dynamic ontology registration (VERDICT r1 missing #2):
+    the reference's ``OutputSchema`` carries ``new_node_types`` /
+    ``new_edge_types`` (``SuggestedType``, reference prompts.py:62-71)
+    and instructs the model to register unknown types (prompts.py:88-89)
+    — the "deliberately dynamic/extensible" ontology of SURVEY §1.4.
+    This lands both arrays in one ``ontology_suggested``-shaped table:
+    (conv_id, kind ∈ {node, edge}, type_name, definition,
+    example_instance)."""
+    raw = _drop_raw_responses(
+        spark.read.schema(OUTPUT_SCHEMA_B).option("multiLine", "true").json(path)
+    ).select(_doc_id(), "new_node_types", "new_edge_types")
+
+    def flat(col: str, kind: str) -> DataFrame:
+        return raw.select(
+            "conv_id", F.lit(kind).alias("kind"), F.explode_outer(col).alias("s")
+        ).select(
+            "conv_id", "kind",
+            F.col("s.type").alias("type_name"),
+            F.col("s.definition").alias("definition"),
+            F.col("s.example_instance").alias("example_instance"),
+        )
+
+    return (
+        flat("new_node_types", "node")
+        .unionByName(flat("new_edge_types", "edge"))
+        .filter(F.col("type_name").isNotNull())
+    )
+
+
 def validate_triples(triples: DataFrame) -> tuple[DataFrame, DataFrame]:
     """F9 — range checks → (valid, quarantine)."""
     bad = (

@@ -99,3 +99,79 @@ def test_lineage_and_metrics_rows(spark, corpus, warehouse):
     met = cat.read(ckpt.METRICS)
     stages = {r["stage"] for r in met.select("stage").distinct().collect()}
     assert {"A_reassemble", "B_extract", "C_canonicalize", "D_materialize"}.issubset(stages)
+
+
+def test_raw_input_audit_replay(spark, corpus, warehouse):
+    """K2 analog: re-extracting from the raw_inputs audit table
+    reproduces triples_raw byte-identically (reference extract.py:77-80
+    persists raw responses for exactly this replay)."""
+    from aisafetyintervention_literatureextraction_spark.operators.extraction import (
+        extract_triples,
+    )
+    from aisafetyintervention_literatureextraction_spark.plans.pipeline import (
+        PipelineConfig, stage_a_reassemble, stage_b_extract,
+    )
+
+    df, _ = corpus
+    cat = Catalog(spark, warehouse)
+    cfg = PipelineConfig(warehouse=warehouse)
+    stage_a_reassemble(cat, df, cfg)
+    stage_b_extract(cat, cfg)
+
+    replayed = extract_triples(
+        cat.read("raw_inputs").select("conv_id", "doc_text"), engine=cfg.extract_engine
+    )
+    cols = ["conv_id", "chain_id", "chain_title", "edge_idx",
+            "subj", "pred", "obj", "description", "edge_confidence"]
+    assert sorted(map(tuple, replayed.select(cols).collect())) == sorted(
+        map(tuple, cat.read("triples_raw").select(cols).collect())
+    )
+    # quarantine tables exist (empty on the grammar path) — F9 routed
+    assert cat.exists("quarantine_triples") and cat.exists("quarantine_nodes")
+    assert cat.read("quarantine_triples").count() == 0
+
+
+def test_ingest_json_quarantine_and_suggestions(spark, warehouse):
+    """F9 routed through the ingest plan: a malformed paper lands in
+    quarantine_triples without aborting the batch; Variant-B suggested
+    types land in ontology_suggested."""
+    import json, os
+    from aisafetyintervention_literatureextraction_spark.plans.ingest import (
+        ingest_extraction_json,
+    )
+
+    cat = Catalog(spark, warehouse)
+    d = os.path.join(warehouse, "ingest_b")
+    os.makedirs(d)
+    good_edge = {"type": "MITIGATES", "rationale": "r", "confidence": 0.8,
+                 "target_node": {"type": "CONCEPT", "name": "rlhf",
+                                 "canonical_name": "rlhf", "aliases": [],
+                                 "confidence": 0.9, "notes": "n"}}
+    bad_edge = {"type": None, "rationale": "missing type", "confidence": 0.5,
+                "target_node": {"type": "CONCEPT", "name": "x",
+                                "canonical_name": "x", "aliases": [],
+                                "confidence": 0.5, "notes": ""}}
+    doc = {
+        "new_node_types": [
+            {"type": "BENCHMARK", "definition": "an eval suite",
+             "example_instance": "truthfulqa"}],
+        "new_edge_types": [
+            {"type": "EVALUATES_ON", "definition": "model evaluated on",
+             "example_instance": "gpt on mmlu"}],
+        "edges": [good_edge, bad_edge],
+    }
+    with open(os.path.join(d, "paper_q.json"), "w") as f:
+        json.dump(doc, f)
+
+    stats = ingest_extraction_json(spark, cat, d, variant="b")
+    assert stats["n_triples_ok"] == 1
+    assert stats["n_triples_quarantined"] == 1
+    q = cat.read("quarantine_triples").collect()
+    assert len(q) == 1 and q[0]["pred"] is None
+    sugg = {(r["kind"], r["type_name"]) for r in cat.read("ontology_suggested").collect()}
+    assert sugg == {("node", "BENCHMARK"), ("edge", "EVALUATES_ON")}
+
+    # idempotent re-ingest: the same directory adds nothing
+    ingest_extraction_json(spark, cat, d, variant="b")
+    assert cat.read("triples_raw").count() == 1
+    assert cat.read("ontology_suggested").count() == 2
