@@ -535,8 +535,13 @@ def q_kg_cooccurrence(spark, sf_dir):
 
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash-LSH blocked near-dups, exact char-5-shingle Jaccard
-    verified — oracle computes the identical predicate all-pairs."""
-    d = _t(spark, sf_dir, "documents")
+    verified — oracle computes the identical predicate all-pairs.
+    (Input repartitioned: the sf dirs are single parquet files, which
+    would pin the Arrow signature stage to one core; at real scale the
+    scan arrives pre-split.)"""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     out = minhash_near_duplicates(d, "doc_id", "text", threshold=0.8)
     return out.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
 
@@ -544,7 +549,9 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 def q_dedup_simhash(spark, sf_dir):
     """SimHash-banded blocking (8×8-bit pigeonhole bands), exact
     char-4-shingle Jaccard ≥ 0.9 verify."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     out = simhash_near_duplicates(
         d, "doc_id", "text", max_hamming=7, verify="jaccard", jaccard_threshold=0.9
     )

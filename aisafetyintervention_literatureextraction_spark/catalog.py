@@ -97,9 +97,13 @@ class Catalog:
         entries: list[dict],
         schema: StructType,
         bucketing: dict | None,
+        run_id: str | None = None,
     ) -> int:
         """Write manifest v=n+1 and flip the pointer atomically. The
-        only mutation a commit ever makes — data dirs are immutable."""
+        only mutation a commit ever makes — data dirs are immutable.
+        ``run_id`` tags the VERSION (vs per-entry tags used by append):
+        rollback_orphan_versions undoes whole overwrite/merge commits
+        whose pipeline run never reached its checkpoint commit point."""
         os.makedirs(os.path.join(self._table_dir(name), "manifests"), exist_ok=True)
         prev = self.current_version(name)
         new_v = 0 if prev is None else prev + 1
@@ -107,6 +111,7 @@ class Catalog:
             "table": name,
             "version": new_v,
             "committed_at": time.time(),
+            "run_id": run_id,
             "schema": json.loads(schema.json()),
             "bucketing": bucketing,
             "entries": entries,
@@ -188,7 +193,9 @@ class Catalog:
     # -- writes ------------------------------------------------------------
     def overwrite(self, df: DataFrame, name: str, run_id: str | None = None) -> int:
         entries = self._write_data(df, name, run_id, bucketing=None)
-        return self._commit_manifest(name, entries, df.schema, bucketing=None)
+        return self._commit_manifest(
+            name, entries, df.schema, bucketing=None, run_id=run_id
+        )
 
     def append(self, df: DataFrame, name: str, run_id: str | None = None) -> int:
         """O(delta): writes only df's rows; prior entries carried
@@ -229,7 +236,9 @@ class Catalog:
         if not self.exists(name):
             merged = self._lww(updates.limit(0), updates, keys, order_col)
             entries = self._write_data(merged, name, run_id, bucketing)
-            return self._commit_manifest(name, entries, merged.schema, bucketing)
+            return self._commit_manifest(
+                name, entries, merged.schema, bucketing, run_id=run_id
+            )
 
         m = self._manifest(name)
         schema = self._merge_schema(StructType.fromJson(m["schema"]), updates.schema)
@@ -239,7 +248,9 @@ class Catalog:
             base = self.read(name)
             merged = self._lww(base, updates, keys, order_col)
             entries = self._write_data(merged, name, run_id, bucketing)
-            return self._commit_manifest(name, entries, schema, bucketing)
+            return self._commit_manifest(
+                name, entries, schema, bucketing, run_id=run_id
+            )
 
         ups = updates.withColumn(_BUCKET_COL, bucket_expr(keys, n_buckets))
         touched = sorted(
@@ -260,7 +271,9 @@ class Catalog:
             base = self.spark.createDataFrame([], base_schema)
         merged = self._lww(base, updates, keys, order_col)
         new_entries = self._write_data(merged, name, run_id, bucketing)
-        return self._commit_manifest(name, carried + new_entries, schema, bucketing)
+        return self._commit_manifest(
+            name, carried + new_entries, schema, bucketing, run_id=run_id
+        )
 
     @staticmethod
     def _lww(base: DataFrame, updates: DataFrame, keys: list[str], order_col: str | None) -> DataFrame:
@@ -303,6 +316,36 @@ class Catalog:
                 name, keep, StructType.fromJson(m["schema"]), m.get("bucketing")
             )
         return dropped
+
+    def rollback_orphan_versions(self, name: str, committed_run_ids: set[str]) -> int:
+        """Undo whole overwrite/merge commits from runs that never
+        reached their checkpoint commit point: walk _latest back past
+        versions whose manifest run_id is uncommitted. Pointer-only —
+        the orphan versions' data dirs stay on disk for vacuum.
+        Returns the number of versions rolled back; if the table's very
+        first version is orphaned the table reverts to nonexistent."""
+        v = self.current_version(name)
+        if v is None:
+            return 0
+        rolled = 0
+        while v >= 0:
+            m = self._manifest(name, v)
+            rid = m.get("run_id")
+            if rid is not None and rid not in committed_run_ids:
+                rolled += 1
+                v -= 1
+            else:
+                break
+        if rolled == 0:
+            return 0
+        if v < 0:
+            os.remove(self._latest_file(name))
+        else:
+            tmp = self._latest_file(name) + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(str(v))
+            os.replace(tmp, self._latest_file(name))
+        return rolled
 
     def n_entries(self, name: str) -> int:
         return len(self._manifest(name)["entries"])

@@ -67,6 +67,19 @@ def committed_run_ids(catalog: Catalog) -> set[str]:
     return {r[0] for r in catalog.read(STATE).select("run_id").distinct().collect()}
 
 
+def reconcile_versions(catalog: Catalog, output_tables: list[str]) -> dict[str, int]:
+    """Overwrite/merge-table twin of ``reconcile``: roll whole table
+    VERSIONS back past uncommitted runs (stage C's read-merge-overwrite
+    cycle must undo atomically, or a resumed run would merge its delta
+    into a state that already contains it — double-counting)."""
+    committed = committed_run_ids(catalog)
+    return {
+        t: catalog.rollback_orphan_versions(t, committed)
+        for t in output_tables
+        if catalog.exists(t)
+    }
+
+
 def reconcile(catalog: Catalog, output_tables: list[str]) -> dict[str, int]:
     """Heal a crash between an output-table commit and its stage-state
     commit: drop orphaned manifest entries (runs that never reached

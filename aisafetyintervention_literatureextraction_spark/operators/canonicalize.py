@@ -91,6 +91,122 @@ def _feature_tokens(nodes: DataFrame) -> DataFrame:
     ).filter(F.size("tokens") > 0)
 
 
+def node_bucket_rows(
+    nodes: DataFrame, num_hashes: int = 32, bands: int = 16
+) -> DataFrame:
+    """(node_id, band, bucket) LSH bucket rows — the persistable unit
+    of incremental canonicalization: a node's rows change only when
+    its match-relevant tokens (name/aliases) change, so an incremental
+    run re-signs only new/changed nodes and merge-upserts this table
+    on (node_id, band)."""
+    rows = num_hashes // bands
+    feats = _feature_tokens(nodes).select("node_id", "tokens")
+    sig = feats.withColumn("sig", minhash_signature(F.col("tokens"), num_hashes))
+    return sig.select(
+        "node_id", F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("bb")
+    ).select("node_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def bucket_join_pairs(
+    left_buckets: DataFrame,
+    all_buckets: DataFrame,
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """Candidate (a_id, b_id) pairs: left rows joined against the full
+    bucket table on (band, bucket), canonical a<b ordering, hot buckets
+    dropped (skew control), per-pair dedup (A4). For a full run pass
+    the same DataFrame twice; for an incremental run pass only the
+    new/changed nodes' rows on the left — candidates then cost
+    O(delta × matched buckets), not O(all nodes)."""
+    sizes = all_buckets.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
+    hot = F.broadcast(sizes.filter(F.col("bsz") > max_bucket_size).select("band", "bucket"))
+    lb = left_buckets.join(hot, ["band", "bucket"], "left_anti")
+    rb = all_buckets.join(hot, ["band", "bucket"], "left_anti")
+    return (
+        lb.select("band", "bucket", F.col("node_id").alias("l_id"))
+        .join(rb.select("band", "bucket", F.col("node_id").alias("r_id")), ["band", "bucket"])
+        .filter(F.col("l_id") != F.col("r_id"))  # F7
+        .select(
+            F.least("l_id", "r_id").alias("a_id"),      # O4 canonical form
+            F.greatest("l_id", "r_id").alias("b_id"),
+        )
+        .dropDuplicates(["a_id", "b_id"])               # A4
+    )
+
+
+def verify_pairs(
+    cand: DataFrame,
+    nodes: DataFrame,
+    jaccard_threshold: float = 0.6,
+    cosine_threshold: float = 0.7,
+    same_type_only: bool = True,
+) -> DataFrame:
+    """Exact Jaccard + relational TF-IDF cosine verification of
+    candidate (a_id, b_id) pairs → (a_id, b_id, similarity) merge
+    edges. Token arrays attach AFTER candidate dedup (narrow-join
+    pattern); IDF weights come from the supplied candidate-node set."""
+    feats = _feature_tokens(nodes).select("node_id", "tokens")
+    pairs = (
+        cand.join(
+            feats.select(F.col("node_id").alias("a_id"), F.col("tokens").alias("a_tokens")),
+            "a_id",
+        )
+        .join(
+            feats.select(F.col("node_id").alias("b_id"), F.col("tokens").alias("b_tokens")),
+            "b_id",
+        )
+        .select("a_id", "b_id", "a_tokens", "b_tokens")
+    )
+    pairs = tfidf_cosine(scored_pairs(pairs), nodes)
+    if same_type_only:
+        types = nodes.select("node_id", "type")
+        pairs = (
+            pairs.join(types.withColumnRenamed("node_id", "a_id")
+                       .withColumnRenamed("type", "a_type"), "a_id")
+            .join(types.withColumnRenamed("node_id", "b_id")
+                  .withColumnRenamed("type", "b_type"), "b_id")
+            .filter(F.col("a_type") == F.col("b_type"))
+            .drop("a_type", "b_type")
+        )
+    return pairs.filter(
+        (F.col("jaccard") >= jaccard_threshold)
+        & (F.col("cosine") >= cosine_threshold)
+    ).select(
+        "a_id", "b_id",
+        F.greatest(F.col("jaccard"), F.col("cosine")).alias("similarity"),
+    )
+
+
+def merge_candidate_nodes(old: DataFrame, delta: DataFrame) -> DataFrame:
+    """Additive merge of candidate-node aggregates (node-scale — never
+    re-aggregates the full nodes_raw history): counts add, conv_id
+    evidence unions, props stay last-writer-wins because the winner is
+    the row whose max conv_id is greatest — identical to aggregating
+    old ∪ delta raw rows in one pass."""
+    u = old.select(delta.columns).unionByName(delta)
+    return (
+        u.groupBy("node_id", "type", "name")
+        .agg(
+            F.max_by(
+                F.struct("aliases", "description", "concept_category",
+                         "intervention_lifecycle", "intervention_maturity"),
+                F.array_max("conv_ids"),
+            ).alias("p"),
+            F.sum("n_occurrences").cast("long").alias("n_occurrences"),
+            F.array_distinct(F.flatten(F.collect_list("conv_ids"))).alias("conv_ids"),
+        )
+        .select(
+            "node_id", "type", "name",
+            F.col("p.aliases").alias("aliases"),
+            F.col("p.description").alias("description"),
+            F.col("p.concept_category").alias("concept_category"),
+            F.col("p.intervention_lifecycle").alias("intervention_lifecycle"),
+            F.col("p.intervention_maturity").alias("intervention_maturity"),
+            "n_occurrences", "conv_ids",
+        )
+    )
+
+
 def lsh_candidate_pairs(
     nodes: DataFrame,
     num_hashes: int = 32,
@@ -244,6 +360,7 @@ def similarity_edges(
     jaccard_threshold: float = 0.6,
     cosine_threshold: float = 0.7,
     same_type_only: bool = True,
+    top_n_pairs: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """nodes_raw → (candidate_nodes_df, merge-edge pairs (a_id, b_id,
     similarity)). The threshold replaces the reference's magic top-30
@@ -265,24 +382,22 @@ def similarity_edges(
     O(distinct nodes), not O(turns), as the corpus grows.
     """
     nodes = with_node_text(candidate_nodes(nodes_raw)).persist()
-    pairs = scored_pairs(lsh_candidate_pairs(nodes))
-    pairs = tfidf_cosine(pairs, nodes)
-    if same_type_only:
-        types = nodes.select("node_id", "type")
-        pairs = (
-            pairs.join(types.withColumnRenamed("node_id", "a_id")
-                       .withColumnRenamed("type", "a_type"), "a_id")
-            .join(types.withColumnRenamed("node_id", "b_id")
-                  .withColumnRenamed("type", "b_type"), "b_id")
-            .filter(F.col("a_type") == F.col("b_type"))
-            .drop("a_type", "b_type")
-        )
-    fuzzy = pairs.filter(
-        (F.col("jaccard") >= jaccard_threshold)
-        & (F.col("cosine") >= cosine_threshold)
-    ).select(
-        "a_id", "b_id",
-        F.greatest(F.col("jaccard"), F.col("cosine")).alias("similarity"),
+    buckets = node_bucket_rows(nodes).persist()
+    cand = bucket_join_pairs(buckets, buckets)
+    fuzzy = verify_pairs(
+        cand, nodes, jaccard_threshold, cosine_threshold, same_type_only
     )
-    edges = alias_identity_edges(nodes).unionByName(fuzzy).dropDuplicates(["a_id", "b_id"])
+    edges = (
+        alias_identity_edges(nodes).unionByName(fuzzy)
+        .groupBy("a_id", "b_id")
+        .agg(F.max("similarity").alias("similarity"))  # deterministic dedup
+    )
+    if top_n_pairs is not None:
+        # fixture-parity mode (SURVEY §2.6 O2): the reference keeps the
+        # top-30 most-similar pairs globally (merge.py:115 top_n=30)
+        # instead of thresholding. Deterministic ties via pair ids;
+        # TakeOrderedAndProject — no global sort materializes.
+        edges = edges.orderBy(
+            F.desc("similarity"), F.asc("a_id"), F.asc("b_id")
+        ).limit(top_n_pairs)
     return nodes, edges

@@ -111,3 +111,27 @@ def test_candidate_nodes_lww(spark):
     assert out[0]["description"] == "new desc"  # c2 > c1
     assert out[0]["n_occurrences"] == 2
     assert sorted(out[0]["conv_ids"]) == ["c1", "c2"]
+
+
+def test_top_n_pairs_fixture_parity(spark, corpus):
+    """Reference merge.py:115 keeps the global top-30 most-similar
+    pairs; with N ≥ the threshold-mode edge count the two modes agree
+    exactly, and with smaller N the result is the deterministic
+    highest-similarity prefix."""
+    nr = _nodes_raw(spark, corpus)
+    _, thresh_edges = similarity_edges(nr)
+    n_edges = thresh_edges.count()
+    _, top_edges = similarity_edges(nr, top_n_pairs=n_edges + 10)
+    assert (
+        sorted(map(tuple, top_edges.select("a_id", "b_id").collect()))
+        == sorted(map(tuple, thresh_edges.select("a_id", "b_id").collect()))
+    )
+    _, top3 = similarity_edges(nr, top_n_pairs=3)
+    rows = top3.collect()
+    assert len(rows) == 3
+    # the prefix is the deterministic top of the full ranking
+    full_top3 = sorted(
+        ((-r["similarity"], r["a_id"], r["b_id"]) for r in thresh_edges.collect())
+    )[:3]
+    got = sorted((-r["similarity"], r["a_id"], r["b_id"]) for r in rows)
+    assert got == full_top3
