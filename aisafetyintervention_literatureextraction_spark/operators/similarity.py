@@ -8,7 +8,11 @@
   path: candidates share ≥1 band; exact cosine re-rank on candidates
   only. Sub-linear candidate sets at 100 TB corpus scale.
 - ``cosine_pairs``: all-pairs above a threshold via the same LSH
-  blocking (embedding near-dup dedup).
+  blocking (embedding near-dup dedup); ``cosine_pairs_exact`` is the
+  broadcast-GEMM exact baseline for thresholds without LSH margin.
+- ``ivf_topk``: inverted-file ANN — KMeans coarse cells + n_probe
+  nearest-cell search + exact re-rank (the second scale path; the
+  inverted lists are a join/bucket column, not a library index).
 
 Deterministic hyperplanes: a seeded numpy matrix regenerated from the
 LSH shape alone — identical across runs/executors with no shipped RNG
@@ -263,3 +267,94 @@ def cosine_pairs_exact(
             )
 
     return rows.mapInPandas(fn, schema="a_id long, b_id long, cosine_sim double")
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path, alongside
+# sign-LSH. A KMeans codebook (pyspark.ml, fixed seed) partitions the
+# corpus into cells; a query probes only its n_probe nearest cells and
+# exact-reranks the candidates. Cell assignment and probing are one
+# numpy matmul per Arrow batch against the broadcast (normalized)
+# centroid matrix — the same physical shape as faiss IVF-Flat, but the
+# inverted lists are just a Spark column to hash-join/bucket on, so at
+# 100 TB the "index" is a partitioning scheme, not a library object.
+# --------------------------------------------------------------------------
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 64,
+    vec_col: str = "embedding",
+    seed: int = 7,
+    sample_fraction: float | None = None,
+):
+    """Fit the coarse codebook; returns a unit-normalized numpy matrix
+    (n_cells, dim). Sample the corpus for training at scale — cell
+    QUALITY needs only a representative sample, assignment still covers
+    every row."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    df = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    if sample_fraction:
+        df = df.sample(fraction=sample_fraction, seed=seed)
+    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(df)
+    C = np.stack([np.asarray(c) for c in model.clusterCenters()]).astype(np.float64)
+    return C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+
+def _nearest_cells(vec, centroids, n: int) -> F.Column:
+    """array<int> of the n nearest cells (by cosine), one matmul per
+    Arrow batch against the broadcast codebook."""
+    def fn(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        V = np.stack(v.to_numpy()).astype(np.float64)
+        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        S = V @ centroids.T                       # (batch, n_cells)
+        top = np.argsort(-S, axis=1)[:, :n].astype(np.int32)
+        return pd.Series(list(top))
+
+    return pandas_udf(fn, "array<int>")(vec)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 64,
+    n_probe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 7,
+    centroids=None,
+    score_expr=None,
+) -> DataFrame:
+    """Approximate top-k via IVF cells: corpus rows live in their
+    nearest cell; each query probes its ``n_probe`` nearest cells and
+    exact-reranks only those candidates. ``n_probe == n_cells`` is
+    exhaustive (== brute force). Pass ``centroids`` to reuse a trained
+    codebook across queries/runs."""
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, n_cells, vec_col, seed)
+    n_cells = centroids.shape[0]
+    # the codebook (n_cells × dim float64) ships inside the UDF closure
+    # — kilobytes; broadcast only pays off for very large codebooks
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
+    cb = c.select(
+        "vec_id", "c_vec",
+        F.element_at(_nearest_cells(F.col("c_vec"), centroids, 1), 1).alias("cell"),
+    )
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    qb = q.select(
+        "query_id", "q_vec",
+        F.explode(_nearest_cells(F.col("q_vec"), centroids, min(n_probe, n_cells))).alias("cell"),
+    )
+    score = score_expr or cosine_fast
+    cand = (
+        qb.join(cb, "cell")
+        .select("query_id", "vec_id", score(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

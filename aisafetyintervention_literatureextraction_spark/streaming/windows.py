@@ -8,10 +8,9 @@ continuous transcript feeds).
   sessionization of the event/turn stream.
 
 Both are source→sink wiring around standard Structured Streaming
-operators; they exist so the engine has a tested template for the
-streaming half of the data model (state store, watermark, append
-mode) rather than a bespoke stateful operator — nothing in the
-reference's capability set needs ``applyInPandasWithState``.
+operators — the built-in-operator half of the streaming surface. The
+custom-state half (idle-timeout conversation assembly via
+``applyInPandasWithState``) lives in streaming/stateful.py.
 """
 
 from __future__ import annotations

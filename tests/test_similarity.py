@@ -61,3 +61,25 @@ def test_cosine_pairs_threshold(spark):
     v = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     pairs = cosine_pairs(v, threshold=0.95, bands=16, bits=2, dim=3).collect()
     assert {(r["a_id"], r["b_id"]) for r in pairs} == {(0, 1)}
+
+
+def test_ivf_topk_recall_and_exhaustive_exact(emb):
+    """IVF ANN: probing a fraction of cells recalls most of the exact
+    top-k; probing ALL cells is exactly brute force."""
+    from aisafetyintervention_literatureextraction_spark.operators.similarity import (
+        ivf_topk, train_ivf_centroids,
+    )
+
+    queries = emb.limit(6).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = cosine_topk(emb, queries, k=10)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+
+    C = train_ivf_centroids(emb, n_cells=16, seed=7)
+    approx = ivf_topk(emb, queries, k=10, n_probe=6, centroids=C)
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.6, len(e & a) / len(e)
+
+    exhaustive = ivf_topk(emb, queries, k=10, n_probe=16, centroids=C)
+    x = {(r["query_id"], r["rank"], r["vec_id"]) for r in exhaustive.collect()}
+    ex = {(r["query_id"], r["rank"], r["vec_id"]) for r in exact.collect()}
+    assert x == ex  # full probe == brute force, rank for rank

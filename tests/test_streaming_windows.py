@@ -74,3 +74,57 @@ def test_stream_session_windows(spark, warehouse):
         (r["conv_id"], r["n_turns"]) for r in got.collect()
     }
     assert sizes == {("a", 4), ("a", 3), ("b", 3)}
+
+
+def test_stateful_reassembly_matches_batch(spark, tmp_path):
+    """applyInPandasWithState idle-timeout assembler: conversations
+    close when event time passes last-turn + gap; closed docs equal the
+    batch reassemble output; gap/conflict convs land with quarantine
+    reasons."""
+    import os
+    from datetime import timedelta
+
+    from aisafetyintervention_literatureextraction_spark.operators.reassembly import (
+        reassemble,
+    )
+    from aisafetyintervention_literatureextraction_spark.streaming.stateful import (
+        stream_reassemble_stateful,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    cols = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    rows_a = [("a", i, "user", f"a-turn-{i}", None, T0 + timedelta(seconds=i)) for i in range(4)]
+    rows_b = [("b", i, "user", f"b-turn-{i}", None, T0 + timedelta(seconds=30 + i)) for i in range(3)]
+    gap_conv = [("g", i, "user", f"g-{i}", None, T0 + timedelta(seconds=i)) for i in (0, 1, 3)]
+    # file 1: the conversations; file 2: a late sentinel that pushes the
+    # watermark past every idle gap so the convs close during the run
+    spark.createDataFrame(rows_a + rows_b + gap_conv, cols).coalesce(1).write.parquet(
+        src + "/f1", mode="overwrite")
+    for f in os.listdir(src + "/f1"):
+        if f.endswith(".parquet"):
+            os.rename(src + f"/f1/{f}", src + f"/0_{f}")
+    import shutil; shutil.rmtree(src + "/f1")
+    sentinel = [("__sentinel", 0, "user", "s", None, T0 + timedelta(days=1))]
+    spark.createDataFrame(sentinel, cols).coalesce(1).write.parquet(src + "/f2", mode="overwrite")
+    for f in os.listdir(src + "/f2"):
+        if f.endswith(".parquet"):
+            os.rename(src + f"/f2/{f}", src + f"/1_{f}")
+    shutil.rmtree(src + "/f2")
+
+    sink, ckpt_dir = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    stream_reassemble_stateful(
+        spark, src, sink, ckpt_dir, idle_gap_ms=5000, watermark="1 second"
+    )
+    got = {r["conv_id"]: r for r in spark.read.parquet(sink).collect()}
+    assert {"a", "b", "g"}.issubset(set(got))
+
+    batch = reassemble(
+        spark.createDataFrame(rows_a + rows_b, cols)
+    ).documents
+    for r in batch.collect():
+        s = got[r["conv_id"]]
+        assert s["reason"] is None
+        assert s["doc_text"] == r["doc_text"]
+        assert s["n_turns"] == r["n_turns"]
+    assert got["g"]["reason"] == "turn_index_gap"
