@@ -1,12 +1,13 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata, processed via Arrow-batched ``mapInPandas``.
 
-The Spark-side plumbing (schemas, batch iteration, partition sizing)
-is real and tested; the *decoders* are stubbed behind
-``_HAS_CODECS`` because no image/audio libraries exist in this
-container — each stub is deterministic on the binary payload so
-tests exercise the full distributed path. Swapping a stub for
-PIL/librosa/ffmpeg changes ONE function body, not the pipeline.
+r2: the image path is REAL for container-friendly formats — P6 PPM and
+24-bit uncompressed BMP decode with pure numpy (no codec libraries),
+so decode → feature-extract → resize → re-encode runs end-to-end on
+actual pixels, distributed. Compressed codecs (PNG/JPEG/MP4) stay
+behind the optional PIL import (`_HAS_CODECS`); payloads no decoder
+claims fall back to a deterministic digest feature so a mixed corpus
+never aborts.
 
 Batch-shape contract: iterator[pd.DataFrame] → iterator[pd.DataFrame];
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds per-batch
@@ -17,6 +18,7 @@ batches for the DECODED footprint).
 from __future__ import annotations
 
 import hashlib
+import re
 from typing import Iterator
 
 import pandas as pd
@@ -33,7 +35,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-try:  # real decoders would be imported here; absent in this container
+try:  # compressed-codec decoders; absent in this container
     import PIL.Image  # noqa: F401
     _HAS_CODECS = True
 except ImportError:
@@ -61,55 +63,234 @@ FRAMES_SCHEMA = StructType([
     StructField("frame_payload", BinaryType(), True),
 ])
 
+DECODED_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("decoder", StringType(), True),
+    StructField("mean_rgb", ArrayType(FloatType()), True),
+])
+
+RESIZED_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("payload", BinaryType(), True),    # re-encoded P6 PPM
+])
+
+_PPM_HEADER = re.compile(rb"^P6\s+(?:#[^\n]*\s+)*(\d+)\s+(\d+)\s+(\d+)\s")
+
+
+# --------------------------- pure-numpy codecs ------------------------------
+
+def decode_ppm(payload: bytes):
+    """P6 PPM → uint8 array (h, w, 3), or None if not P6/maxval>255."""
+    import numpy as np
+
+    if not payload or not payload.startswith(b"P6"):
+        return None
+    m = _PPM_HEADER.match(payload)
+    if not m:
+        return None
+    w, h, maxval = (int(m.group(i)) for i in (1, 2, 3))
+    if maxval > 255:
+        return None
+    body = payload[m.end():]
+    need = w * h * 3
+    if len(body) < need:
+        return None
+    return np.frombuffer(body[:need], dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_ppm(arr) -> bytes:
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype("uint8").tobytes()
+
+
+def decode_bmp(payload: bytes):
+    """24-bit uncompressed BMP → uint8 array (h, w, 3) RGB, or None."""
+    import numpy as np
+
+    if not payload or not payload.startswith(b"BM") or len(payload) < 54:
+        return None
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    bottom_up = h > 0
+    h = abs(h)
+    row = (w * 3 + 3) // 4 * 4                     # 4-byte row padding
+    if len(payload) < off + row * h:
+        return None
+    raw = np.frombuffer(payload, dtype=np.uint8, count=row * h, offset=off)
+    img = raw.reshape(h, row)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR→RGB
+    return img[::-1] if bottom_up else img
+
+
+def decode_image(payload: bytes, mime: str | None = None):
+    """Try every available decoder; returns (array, decoder_name) or
+    (None, None)."""
+    img = decode_ppm(payload)
+    if img is not None:
+        return img, "ppm"
+    img = decode_bmp(payload)
+    if img is not None:
+        return img, "bmp"
+    if _HAS_CODECS:  # pragma: no cover — PIL absent in this container
+        import io
+
+        import numpy as np
+
+        try:
+            with PIL.Image.open(io.BytesIO(payload)) as im:
+                return np.asarray(im.convert("RGB")), "pil"
+        except Exception:
+            return None, None
+    return None, None
+
+
+def _thumb_feature(img, grid: int = 4):
+    """Real content feature: grid×grid grayscale thumbnail via block
+    means, scaled to [-1, 1] — 16 floats at the default grid."""
+    import numpy as np
+
+    h, w = img.shape[:2]
+    gray = img.astype(np.float64).mean(axis=2)
+    ys = (np.arange(grid + 1) * h) // grid
+    xs = (np.arange(grid + 1) * w) // grid
+    out = np.empty(grid * grid)
+    for gy in range(grid):
+        for gx in range(grid):
+            block = gray[ys[gy]:max(ys[gy + 1], ys[gy] + 1),
+                         xs[gx]:max(xs[gx + 1], xs[gx] + 1)]
+            out[gy * grid + gx] = block.mean()
+    return (out / 255.0) * 2.0 - 1.0
+
 
 def _stub_feature(payload: bytes, dim: int = 16) -> list[float]:
-    """Deterministic fake embedding from the payload digest — replaces
-    a real decode+model forward pass. NOT a real feature; the point is
-    the distributed plumbing around it."""
+    """Deterministic digest feature for payloads no decoder claims —
+    keeps mixed corpora flowing instead of aborting the batch."""
     if payload is None:
         return [0.0] * dim
     h = hashlib.sha256(payload).digest()
     return [((h[i % 32] / 255.0) * 2 - 1) for i in range(dim)]
 
 
-def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
-    """binary payload → feature vector via Arrow batches."""
+# --------------------------- distributed operators --------------------------
+
+def decode_images(media: DataFrame) -> DataFrame:
+    """payload → real dimensions + channel means for every decodable
+    image (P6/BMP pure-numpy; PIL formats when available)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        decoder = "real" if _HAS_CODECS else "stub-sha256"
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            if _HAS_CODECS:
-                raise NotImplementedError(
-                    "real decoder wiring: PIL decode → resize → model; "
-                    "not available in this container"
-                )
-            # the digest is per-row by nature (so is a real image
-            # decode — that's the correct batch shape for this stage);
-            # the digest→feature expansion is one numpy op per batch
-            digs = np.stack([
-                np.frombuffer(hashlib.sha256(p).digest(), dtype=np.uint8)
-                if p is not None else np.zeros(32, dtype=np.uint8)
-                for p in pdf["payload"]
-            ])
-            feats = (digs[:, np.arange(dim) % 32] / 255.0) * 2.0 - 1.0
-            feats[pdf["payload"].isna().to_numpy()] = 0.0  # _stub_feature None contract
+            rows = {"media_id": [], "width": [], "height": [],
+                    "decoder": [], "mean_rgb": []}
+            for mid, payload, mime in zip(pdf["media_id"], pdf["payload"], pdf["mime"]):
+                img, dec = decode_image(payload, mime)
+                rows["media_id"].append(mid)
+                rows["decoder"].append(dec)
+                if img is None:
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["mean_rgb"].append(None)
+                else:
+                    rows["width"].append(img.shape[1])
+                    rows["height"].append(img.shape[0])
+                    rows["mean_rgb"].append(
+                        img.reshape(-1, 3).mean(axis=0).astype(np.float32)
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload", "mime").mapInPandas(
+        run, schema=DECODED_SCHEMA
+    )
+
+
+def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """binary payload → feature vector via Arrow batches: a real
+    grid-thumbnail feature for decodable images, digest fallback
+    otherwise. (Each image decode is per-row C work by nature — the
+    correct batch shape for this stage.)"""
+    import math
+
+    grid = int(math.isqrt(dim))
+    assert grid * grid == dim, "dim must be a square (grid thumbnail)"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            feats, decs = [], []
+            for payload, mime in zip(pdf["payload"], pdf["mime"]):
+                img, dec = decode_image(payload, mime)
+                if img is not None:
+                    feats.append(_thumb_feature(img, grid).astype(np.float32))
+                    decs.append(dec)
+                else:
+                    feats.append(np.asarray(_stub_feature(payload, dim), dtype=np.float32))
+                    decs.append("stub-sha256")
             yield pd.DataFrame({
                 "media_id": pdf["media_id"].to_numpy(),
-                "feature": list(feats.astype(np.float32)),
-                "decoder": decoder,
+                "feature": feats,
+                "decoder": decs,
             })
 
-    return media.select("media_id", "payload").mapInPandas(run, schema=FEATURES_SCHEMA)
+    return media.select("media_id", "payload", "mime").mapInPandas(
+        run, schema=FEATURES_SCHEMA
+    )
+
+
+def resize_images(media: DataFrame, max_side: int = 512) -> DataFrame:
+    """Real resize (nearest-neighbor, aspect-preserving) for decodable
+    images, re-encoded as P6 PPM; undecodable payloads pass through
+    untouched with null dims."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = {"media_id": [], "width": [], "height": [], "payload": []}
+            for mid, payload, mime in zip(pdf["media_id"], pdf["payload"], pdf["mime"]):
+                img, dec = decode_image(payload, mime)
+                rows["media_id"].append(mid)
+                if img is None:
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["payload"].append(payload)
+                    continue
+                h, w = img.shape[:2]
+                scale = min(max_side / max(h, w), 1.0)
+                nh, nw = max(int(h * scale), 1), max(int(w * scale), 1)
+                yi = (np.arange(nh) * h) // nh
+                xi = (np.arange(nw) * w) // nw
+                small = img[yi][:, xi]
+                rows["width"].append(nw)
+                rows["height"].append(nh)
+                rows["payload"].append(encode_ppm(small))
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload", "mime").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """video → frame rows (one per sampled timestamp). Stub emits
-    deterministic slices of the payload as fake frames; real impl =
-    ffmpeg keyframe extraction per batch."""
+    """video → frame rows. Real path: a concatenated-P6 stream
+    (mime video/x-ppm-stream — frames split on the P6 magic) samples
+    actual frames; other containers emit deterministic payload slices
+    until a real demuxer (ffmpeg) is wired in."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -117,18 +298,27 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             if len(vids) == 0:
                 continue
             rows = {"media_id": [], "frame_idx": [], "frame_payload": []}
-            for mid, payload, dur in zip(
-                vids["media_id"], vids["payload"], vids["duration_ms"]
+            for mid, payload, dur, mime in zip(
+                vids["media_id"], vids["payload"], vids["duration_ms"], vids["mime"]
             ):
-                n = max(int((dur or 0) // every_ms), 1)
-                for i in range(n):
-                    rows["media_id"].append(mid)
-                    rows["frame_idx"].append(i)
-                    sl = (payload or b"")[i::n][:64]  # deterministic fake frame
-                    rows["frame_payload"].append(sl)
+                payload = payload or b""
+                if mime == "video/x-ppm-stream":
+                    parts = payload.split(b"P6\n")
+                    frames = [b"P6\n" + p for p in parts[1:]]
+                    step = max(len(frames) * every_ms // max(int(dur or 0), every_ms), 1)
+                    for i, f in enumerate(frames[::step]):
+                        rows["media_id"].append(mid)
+                        rows["frame_idx"].append(i)
+                        rows["frame_payload"].append(f)
+                else:
+                    n = max(int((dur or 0) // every_ms), 1)
+                    for i in range(n):
+                        rows["media_id"].append(mid)
+                        rows["frame_idx"].append(i)
+                        rows["frame_payload"].append(payload[i::n][:64])
             yield pd.DataFrame(rows)
 
-    return media.select("media_id", "kind", "payload", "duration_ms").mapInPandas(
+    return media.select("media_id", "kind", "mime", "payload", "duration_ms").mapInPandas(
         run, schema=FRAMES_SCHEMA
     )
 

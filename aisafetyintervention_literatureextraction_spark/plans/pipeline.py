@@ -274,9 +274,12 @@ def run_pipeline(
     stage_c_canonicalize(cat, cfg)
     stage_d_materialize(cat, cfg)
     # table maintenance: bound manifest growth on the append-heavy
-    # bookkeeping tables (amortized — fires once per ~64 commits)
+    # bookkeeping tables (amortized — fires once per ~64 commits);
+    # vacuum reclaims the superseded commit dirs past a 4-version
+    # time-travel horizon
     for t in (ckpt.STATE, ckpt.LINEAGE, ckpt.METRICS):
-        cat.maybe_compact(t)
+        if cat.maybe_compact(t):
+            cat.vacuum(t, keep_versions=4)
     wall = time.time() - t0
     n_triples = cat.read("triples_raw").count()
     return {

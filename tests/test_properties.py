@@ -73,3 +73,62 @@ def test_snake_case_idempotent(spark, s):
     val = once.collect()[0]["a"]
     assert twice == val
     assert val == "" or (val[0] != "_" and val[-1] != "_")
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["append", "merge"]),
+            st.lists(
+                st.tuples(st.integers(0, 15), st.integers(0, 100)),
+                min_size=1, max_size=4,
+            ),
+        ),
+        min_size=1, max_size=5,
+    ),
+)
+def test_catalog_model_based(spark, tmp_path_factory, ops):
+    """Model-based: any interleaving of delta appends and bucketed
+    merges matches a plain dict/list model — the O(delta) machinery
+    must never change WHAT the table contains, only how it commits."""
+    import shutil, tempfile
+
+    from aisafetyintervention_literatureextraction_spark.catalog import Catalog
+
+    wh = tempfile.mkdtemp(prefix="kgwh_prop_")
+    try:
+        cat = Catalog(spark, wh)
+        applog, model = [], {}
+        ver = 0
+        for kind, rows in ops:
+            df = spark.createDataFrame(rows, "k int, v int")
+            if kind == "append":
+                cat.append(df, "t")
+                applog.extend(rows)
+            else:
+                cat.merge_upsert(df, "t", keys=["k"], order_col="v", n_buckets=8)
+                # merge collapses the append log into keyed state first
+                for k, v in applog:
+                    if k not in model or v >= model[k]:
+                        model[k] = v
+                applog = []
+                best = {}
+                for k, v in rows:
+                    if k not in best or v >= best[k]:
+                        best[k] = v
+                model.update(best)
+            ver += 1
+            assert cat.current_version("t") == ver - 1
+        got = sorted((r["k"], r["v"]) for r in cat.read("t").collect())
+        if applog and not model:
+            assert got == sorted(applog)
+        elif not applog:
+            assert got == sorted(model.items())
+        # mixed tail (appends after a merge): the table holds keyed
+        # state ∪ raw appended rows
+        else:
+            assert got == sorted(list(model.items()) + applog)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
