@@ -33,19 +33,36 @@ def connected_components(
     edges: DataFrame,     # a_id, b_id
     max_iter: int = 50,
     checkpoint_every: int = 1,
+    initial_labels: DataFrame | None = None,
 ) -> DataFrame:
     """Returns (node_id, component_id) — component_id = min node_id in
     the component. Deterministic and resume-stable because node ids
-    are content hashes (functions/hashing.stable_node_id)."""
+    are content hashes (functions/hashing.stable_node_id).
+
+    ``initial_labels`` (node_id, component_id) warm-starts the
+    propagation — valid whenever each supplied label is the min node
+    id of SOME subset of the node's true component, which holds for a
+    previous run's output because similarity edges are only ever
+    ADDED (components merge, never split). An incremental run then
+    converges in one or two iterations instead of O(log diameter)."""
     sym = (
         edges.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
         .union(edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = vertices.select(
-        F.col("node_id"), F.col("node_id").alias("component_id")
-    ).localCheckpoint(eager=True)
+    if initial_labels is not None:
+        labels = vertices.join(
+            initial_labels.select("node_id", F.col("component_id").alias("prev_comp")),
+            "node_id", "left",
+        ).select(
+            "node_id",
+            F.coalesce(F.col("prev_comp"), F.col("node_id")).alias("component_id"),
+        ).localCheckpoint(eager=True)
+    else:
+        labels = vertices.select(
+            F.col("node_id"), F.col("node_id").alias("component_id")
+        ).localCheckpoint(eager=True)
 
     converged = False
     for i in range(max_iter):

@@ -61,20 +61,24 @@ def stage_a_reassemble(cat: Catalog, transcripts: DataFrame, cfg: PipelineConfig
         ckpt.reconcile(cat, ["documents", "quarantine"])
     inp = ckpt.pending(cat, "A_reassemble", transcripts) if cfg.resume else transcripts
     res = reassemble(inp, salt_segment=cfg.salt_segment)
-    docs = res.documents
-    quarantine = res.quarantine.persist()  # reused: write + mark_processed
+    # both deltas are multi-consumer (append + mark + lineage/metrics):
+    # persist so reassembly runs once, and keep every per-run artifact
+    # O(delta) — lineage/metrics over the whole table would silently
+    # reintroduce the O(history)-per-run scan the catalog just removed
+    docs = res.documents.persist()
+    quarantine = res.quarantine.persist()
     cat.append(docs, "documents", run_id=run_id)
     if cat.exists("quarantine") or quarantine.limit(1).count() > 0:
         cat.append(quarantine, "quarantine", run_id=run_id)
-    out = cat.read("documents")
     processed = docs.select("conv_id").union(quarantine.select("conv_id")).distinct()
     ckpt.mark_processed(cat, "A_reassemble", run_id, processed)  # commit point
-    quarantine.unpersist()
-    ckpt.write_lineage(cat, "A_reassemble", run_id, out)
+    ckpt.write_lineage(cat, "A_reassemble", run_id, docs)
     ckpt.write_metrics(cat, "A_reassemble", run_id, {
-        "n_documents": out.count(), "wall_s": time.time() - t0,
+        "n_documents_delta": docs.count(), "wall_s": time.time() - t0,
     })
-    return out
+    docs.unpersist()
+    quarantine.unpersist()
+    return cat.read("documents")
 
 
 def stage_b_extract(cat: Catalog, cfg: PipelineConfig) -> tuple[DataFrame, DataFrame]:
@@ -111,15 +115,17 @@ def stage_b_extract(cat: Catalog, cfg: PipelineConfig) -> tuple[DataFrame, DataF
     cat.append(t_bad, "quarantine_triples", run_id=run_id)   # F9 routed,
     cat.append(n_bad, "quarantine_nodes", run_id=run_id)     # not raised
     ckpt.mark_processed(cat, "B_extract", run_id, pending_docs.select("conv_id"))  # commit point
+    # lineage/metrics describe THIS run's delta (O(delta), and the
+    # per-partition conv_id ranges of the run's output are the useful
+    # lineage rows anyway — the full table's ranges are their union)
+    ckpt.write_lineage(cat, "B_extract", run_id, t_ok)
+    n_delta = t_ok.count()
+    ckpt.write_metrics(cat, "B_extract", run_id, {
+        "n_triples_delta": n_delta, "wall_s": time.time() - t0,
+        "triples_per_sec": n_delta / max(time.time() - t0, 1e-9),
+    })
     triples.unpersist()
     nodes.unpersist()
-    triples_all = cat.read("triples_raw")
-    ckpt.write_lineage(cat, "B_extract", run_id, triples_all)
-    n_triples = triples_all.count()
-    ckpt.write_metrics(cat, "B_extract", run_id, {
-        "n_triples": n_triples, "wall_s": time.time() - t0,
-        "triples_per_sec": n_triples / max(time.time() - t0, 1e-9),
-    })
     pending_docs.unpersist()
     return cat.read("triples_raw"), cat.read("nodes_raw")
 
@@ -219,8 +225,15 @@ def stage_c_canonicalize(cat: Catalog, cfg: PipelineConfig) -> DataFrame:
                 .agg(F.max("similarity").alias("similarity"))
             )
             cat.overwrite(edges, "node_pairs", run_id=run_id)
+            # warm-start from the previous labels: edges only get
+            # ADDED, so old component minima are valid initial labels
+            # and the propagation converges in ~1 iteration
+            prev_comps = (
+                cat.read("components") if cat.exists("components") else None
+            )
             comps = connected_components(
-                merged.select("node_id"), cat.read("node_pairs")
+                merged.select("node_id"), cat.read("node_pairs"),
+                initial_labels=prev_comps,
             )
             cat.overwrite(comps, "components", run_id=run_id)
             cat.overwrite(merged, "candidate_nodes", run_id=run_id)

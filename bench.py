@@ -151,10 +151,53 @@ def run_once(cpus: int, sf_dir: str, skip_queries: bool = False,
         spark.stop()
 
 
+def bench_pipeline(cpus: int, replicate: int = 10, increment_pct: int = 2) -> dict:
+    """Full warehouse build (stages A-D incl. catalog commits) followed
+    by an INCREMENTAL run over the same warehouse with +increment_pct%
+    new conversations — the delta-catalog / delta-stage-C evidence:
+    the second wall must track the increment, not the corpus."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from aisafetyintervention_literatureextraction_spark.plans.pipeline import (
+        run_pipeline,
+    )
+    from aisafetyintervention_literatureextraction_spark.session import get_spark
+
+    spark = get_spark(f"bench-pipeline-{cpus}", cpus=cpus, shuffle_partitions=64)
+    wh = tempfile.mkdtemp(prefix="kgbench_wh_")
+    try:
+        path = ensure_corpus(spark, _CORPUS_BY_SF[_sf_of(SF_DIR)], replicate=replicate)
+        tr = spark.read.parquet(path)
+        initial = tr.filter(F.crc32(F.col("conv_id")) % 100 >= increment_pct)
+        t0 = time.time()
+        stats_full = run_pipeline(spark, initial, wh)
+        w_initial = time.time() - t0
+        t0 = time.time()
+        stats_incr = run_pipeline(spark, tr, wh)  # resume: only the increment pending
+        w_incr = time.time() - t0
+        return {
+            "initial_wall_s": round(w_initial, 1),
+            "incremental_wall_s": round(w_incr, 1),
+            "speedup": round(w_initial / max(w_incr, 1e-9), 2),
+            "n_triples_initial": stats_full["n_triples"],
+            "n_triples_final": stats_incr["n_triples"],
+            "increment_pct": increment_pct,
+            "n_turns": tr.count(),
+        }
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+        spark.stop()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true",
                     help="run at N and 4N cores, report efficiency")
+    ap.add_argument("--pipeline", action="store_true",
+                    help="full warehouse build + incremental re-run walls")
     ap.add_argument("--cpus", type=int, default=CPUS)
     ap.add_argument("--repeats", type=int, default=3,
                     help="alternating (low, high) measurement pairs for --scaling")
@@ -171,6 +214,16 @@ def main() -> None:
     args = ap.parse_args()
 
     sf = _sf_of(SF_DIR)
+    if args.pipeline:
+        res = bench_pipeline(args.cpus, replicate=args.replicate)
+        print(json.dumps({
+            "metric": "pipeline_incremental_speedup",
+            "value": res["speedup"],
+            "unit": "ratio",
+            **res,
+            "sf": sf,
+        }))
+        return
     if args.scaling:
         high = args.scale_high
         n = max(high // 4, 1)

@@ -75,3 +75,19 @@ def test_component_id_is_min_node(spark):
     e = spark.createDataFrame([(10, 7), (7, 3)], "a_id long, b_id long")
     comps = connected_components(v, e)
     assert {r["component_id"] for r in comps.collect()} == {3}
+
+
+def test_warm_start_labels(spark):
+    """Warm-started propagation (previous run's labels + new edges)
+    converges to the same labels as a cold run — components can only
+    merge when edges are added."""
+    v = spark.createDataFrame([(i,) for i in range(8)], "node_id long")
+    e_old = spark.createDataFrame([(0, 1), (2, 3), (4, 5)], "a_id long, b_id long")
+    old = connected_components(v, e_old)
+    # new edge merges {0,1} with {2,3}; 6/7 stay singletons
+    e_new = spark.createDataFrame(
+        [(0, 1), (2, 3), (4, 5), (1, 2)], "a_id long, b_id long"
+    )
+    warm = connected_components(v, e_new, initial_labels=old)
+    cold = connected_components(v, e_new)
+    assert sorted(map(tuple, warm.collect())) == sorted(map(tuple, cold.collect()))
