@@ -51,40 +51,6 @@ def lsh_bands(signature: Column, bands: int, rows_per_band: int) -> Column:
     )
 
 
-def simhash64(tokens: Column) -> Column:
-    """64-bit SimHash over a token array (near-dup fingerprint).
-
-    Per token: xxhash64 → 64 sign contributions (+1 / -1 per bit);
-    sum per bit over tokens; sign → bit. Folded into one BIGINT.
-    """
-    # bit positions are compile-time constants (shiftright needs int)
-    counts = F.aggregate(
-        tokens,
-        F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, t: F.zip_with(
-            acc,
-            F.array(*[
-                F.when(
-                    F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1,
-                    F.lit(1),
-                ).otherwise(F.lit(-1)).cast("long")
-                for b in range(64)
-            ]),
-            lambda a, c: a + c,
-        ),
-    )
-    bit_vals = [1 << b for b in range(63)] + [-(1 << 63)]  # bit 63 = sign bit
-    return F.aggregate(
-        F.zip_with(
-            counts,
-            F.array(*[F.lit(v).cast("long") for v in bit_vals]),
-            lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
-    )
-
-
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit fingerprints (bit_count of XOR)."""
     return F.bit_count(a.bitwiseXOR(b))
