@@ -156,18 +156,40 @@ class Catalog:
         df.write.mode("overwrite").parquet(path)
         return [{"path": rel, "bucket": None, "run_id": run_id}]
 
+    @staticmethod
+    def _permissive(dt):
+        """Type with every nullable/containsNull flag set — collect_set
+        vs flatten etc. flip these flags without changing the data."""
+        from pyspark.sql.types import ArrayType, MapType, StructField
+
+        if isinstance(dt, ArrayType):
+            return ArrayType(Catalog._permissive(dt.elementType), True)
+        if isinstance(dt, MapType):
+            return MapType(
+                Catalog._permissive(dt.keyType), Catalog._permissive(dt.valueType), True
+            )
+        if isinstance(dt, StructType):
+            return StructType([
+                StructField(f.name, Catalog._permissive(f.dataType), True)
+                for f in dt.fields
+            ])
+        return dt
+
     def _merge_schema(self, prev: StructType, new: StructType) -> StructType:
-        """Union of columns (append-with-missing-columns support); type
-        conflicts fail loudly rather than corrupt the table."""
-        fields = {f.name: f for f in prev.fields}
-        out = list(prev.fields)
+        """Union of columns (append-with-missing-columns support),
+        nullability-insensitive; real type conflicts fail loudly rather
+        than corrupt the table."""
+        from pyspark.sql.types import StructField
+
+        fields = {f.name: self._permissive(f.dataType) for f in prev.fields}
+        out = [StructField(f.name, fields[f.name], True) for f in prev.fields]
         for f in new.fields:
+            norm = self._permissive(f.dataType)
             if f.name not in fields:
-                out.append(f)
-            elif fields[f.name].dataType != f.dataType:
+                out.append(StructField(f.name, norm, True))
+            elif fields[f.name] != norm:
                 raise ValueError(
-                    f"schema conflict on {f.name}: "
-                    f"{fields[f.name].dataType} vs {f.dataType}"
+                    f"schema conflict on {f.name}: {fields[f.name]} vs {norm}"
                 )
         return StructType(out)
 
@@ -232,24 +254,67 @@ class Catalog:
         updates beat existing rows, and among duplicate update rows
         the max ``order_col`` wins deterministically.
         """
+
+        # tag updates so they beat base rows even on order ties (base
+        # rows get null __gen via the allowMissingColumns union)
+        ups = updates.withColumn("__gen", F.lit(1))
+        cols = updates.columns
+
+        def lww(df: DataFrame) -> DataFrame:
+            order_expr = (
+                F.struct(F.coalesce(F.col("__gen"), F.lit(0)).alias("g"), F.col(order_col))
+                if order_col
+                else F.struct(F.coalesce(F.col("__gen"), F.lit(0)).alias("g"))
+            )
+            return (
+                df.groupBy(*keys)
+                .agg(
+                    F.max_by(
+                        F.struct(*[F.col(c) for c in cols if c not in keys]),
+                        order_expr,
+                    ).alias("__row")
+                )
+                .select(*keys, "__row.*")
+            )
+
+        return self.merge_combine(
+            ups, name, keys, lww, n_buckets=n_buckets, run_id=run_id
+        )
+
+    def merge_combine(
+        self,
+        updates: DataFrame,
+        name: str,
+        keys: list[str],
+        combiner,
+        n_buckets: int = 32,
+        run_id: str | None = None,
+    ) -> int:
+        """Generic bucketed merge: ``combiner(df)`` must reduce rows
+        sharing ``keys`` to one row, and must be a SEMIGROUP fold —
+        idempotent on already-combined rows (sums, set unions, max_by)
+        — because it runs over base ∪ updates of the touched buckets
+        only. This is what makes additive aggregate tables (e.g. the
+        raw-edge evidence table) O(delta) per run instead of a full
+        re-aggregation of history."""
         bucketing = {"keys": keys, "n_buckets": n_buckets}
         if not self.exists(name):
-            merged = self._lww(updates.limit(0), updates, keys, order_col)
+            merged = combiner(updates)
             entries = self._write_data(merged, name, run_id, bucketing)
             return self._commit_manifest(
                 name, entries, merged.schema, bucketing, run_id=run_id
             )
 
         m = self._manifest(name)
-        schema = self._merge_schema(StructType.fromJson(m["schema"]), updates.schema)
         if m.get("bucketing") != bucketing:
             # one-time migration: legacy/unbucketed (or re-keyed) table
             # → full rewrite into bucketed form; O(table), documented.
-            base = self.read(name)
-            merged = self._lww(base, updates, keys, order_col)
+            merged = combiner(
+                self.read(name).unionByName(updates, allowMissingColumns=True)
+            )
             entries = self._write_data(merged, name, run_id, bucketing)
             return self._commit_manifest(
-                name, entries, schema, bucketing, run_id=run_id
+                name, entries, merged.schema, bucketing, run_id=run_id
             )
 
         ups = updates.withColumn(_BUCKET_COL, bucket_expr(keys, n_buckets))
@@ -269,31 +334,11 @@ class Catalog:
             base = self.spark.read.schema(base_schema).parquet(*base_paths)
         else:
             base = self.spark.createDataFrame([], base_schema)
-        merged = self._lww(base, updates, keys, order_col)
+        merged = combiner(base.unionByName(updates, allowMissingColumns=True))
+        schema = self._merge_schema(StructType.fromJson(m["schema"]), merged.schema)
         new_entries = self._write_data(merged, name, run_id, bucketing)
         return self._commit_manifest(
             name, carried + new_entries, schema, bucketing, run_id=run_id
-        )
-
-    @staticmethod
-    def _lww(base: DataFrame, updates: DataFrame, keys: list[str], order_col: str | None) -> DataFrame:
-        base = base.withColumn("__gen", F.lit(0))
-        ups = updates.withColumn("__gen", F.lit(1))
-        order_expr = (
-            F.struct(F.col("__gen"), F.col(order_col))
-            if order_col
-            else F.struct(F.col("__gen"))
-        )
-        cols = [c for c in ups.columns if c != "__gen"]
-        return (
-            base.unionByName(ups, allowMissingColumns=True)
-            .groupBy(*keys)
-            .agg(
-                F.max_by(
-                    F.struct(*[F.col(c) for c in cols if c not in keys]), order_expr
-                ).alias("__row")
-            )
-            .select(*keys, "__row.*")
         )
 
     # -- recovery / maintenance ------------------------------------------------

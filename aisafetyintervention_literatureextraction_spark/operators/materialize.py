@@ -54,20 +54,86 @@ def _name_index(nodes: DataFrame) -> DataFrame:
     )
 
 
+def aggregate_raw_edges(triples_raw: DataFrame) -> DataFrame:
+    """Collapse triple INSTANCES to one row per raw (subj, pred, obj)
+    key: occurrence count, conv_id evidence, last-writer-wins props
+    (winner = the instance from the max conv_id — reference MERGE+SET).
+
+    This is the table stage D actually needs, and it is a semigroup
+    aggregate, so the pipeline maintains it incrementally with
+    ``Catalog.merge_combine`` (``edge_agg_combiner``) — the raw
+    triples history is never rescanned per run."""
+    return (
+        triples_raw.groupBy("subj", "pred", "obj")
+        .agg(
+            F.count("*").alias("n"),
+            F.array_sort(F.collect_set("conv_id")).alias("conv_ids"),
+            F.max_by(
+                F.struct("description", "edge_confidence"), F.col("conv_id")
+            ).alias("p"),
+        )
+        .select(
+            "subj", "pred", "obj", "n", "conv_ids",
+            F.col("p.description").alias("description"),
+            F.col("p.edge_confidence").alias("edge_confidence"),
+        )
+    )
+
+
+def edge_agg_combiner(df: DataFrame) -> DataFrame:
+    """Merge already-aggregated edge rows (Catalog.merge_combine
+    contract): counts add, evidence unions, props follow the row whose
+    evidence holds the max conv_id — identical to aggregating the
+    union of the underlying raw instances in one pass."""
+    return (
+        df.groupBy("subj", "pred", "obj")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("conv_ids")))).alias("cids"),
+            F.max_by(
+                F.struct("description", "edge_confidence"),
+                F.array_max("conv_ids"),
+            ).alias("p"),
+        )
+        .select(
+            "subj", "pred", "obj", "n",
+            F.col("cids").alias("conv_ids"),
+            F.col("p.description").alias("description"),
+            F.col("p.edge_confidence").alias("edge_confidence"),
+        )
+    )
+
+
 def materialize(
     candidate_nodes: DataFrame,  # from canonicalize.candidate_nodes (+text ok)
     triples_raw: DataFrame,
+    components: DataFrame,       # node_id, component_id
+) -> Graph:
+    """Graph from raw triple instances (one-shot path): aggregates the
+    instances first, then shares the aggregated materialization with
+    the incremental pipeline (materialize_from_agg)."""
+    return materialize_from_agg(
+        candidate_nodes, aggregate_raw_edges(triples_raw), components
+    )
+
+
+def materialize_from_agg(
+    candidate_nodes: DataFrame,
+    edges_agg: DataFrame,        # aggregate_raw_edges shape
     components: DataFrame,       # node_id, component_id
 ) -> Graph:
     # Scale note: the name index and component map are node-scale
     # (orders of magnitude smaller than the triple/turn tables), so
     # they are broadcast below; past executor-memory scale, drop the
     # hints and let AQE pick sort-merge — the joins stay correct.
+    # edges_agg is O(distinct raw edges), not O(instances) — the
+    # pipeline maintains it incrementally, so this whole stage never
+    # touches the triples history.
     nodes = candidate_nodes
     name_idx = _name_index(nodes)
 
     # --- resolve edge endpoints by normalized name ------------------------
-    t = triples_raw.withColumn("subj_key", snake_case(F.col("subj"))).withColumn(
+    t = edges_agg.withColumn("subj_key", snake_case(F.col("subj"))).withColumn(
         "obj_key", snake_case(F.col("obj"))
     )
     t = (
@@ -86,17 +152,26 @@ def materialize(
     dangling = (
         t.filter(F.col("subj_id").isNull() | F.col("obj_id").isNull())
         .select(
-            "conv_id",
+            "conv_ids",
             F.when(F.col("subj_id").isNull(), F.col("subj")).alias("subj_missing"),
             F.when(F.col("obj_id").isNull(), F.col("obj")).alias("obj_missing"),
         )
     )
     implicit = (
-        t.select(F.when(F.col("subj_id").isNull(), F.col("subj")).alias("name"), "conv_id")
-        .union(t.select(F.when(F.col("obj_id").isNull(), F.col("obj")).alias("name"), "conv_id"))
+        t.select(
+            F.when(F.col("subj_id").isNull(), F.col("subj")).alias("name"),
+            "conv_ids", "n",
+        )
+        .union(t.select(
+            F.when(F.col("obj_id").isNull(), F.col("obj")).alias("name"),
+            "conv_ids", "n",
+        ))
         .filter(F.col("name").isNotNull())
         .groupBy("name")
-        .agg(F.collect_set("conv_id").alias("conv_ids"), F.count("*").alias("n_occurrences"))
+        .agg(
+            F.array_distinct(F.flatten(F.collect_list("conv_ids"))).alias("conv_ids"),
+            F.sum("n").cast("long").alias("n_occurrences"),
+        )
         .select(
             stable_node_id(F.lit("concept"), F.col("name")).alias("node_id"),
             F.lit("concept").alias("type"),
@@ -139,7 +214,7 @@ def materialize(
         .select(
             F.coalesce("subj_comp", "subj_id").alias("src"),
             F.coalesce("obj_comp", "obj_id").alias("dst"),
-            "pred", "description", "edge_confidence", "conv_id",
+            "pred", "description", "edge_confidence", "conv_ids",
         )
     )
 
@@ -149,15 +224,16 @@ def materialize(
         .groupBy("src", "dst", "pred")
         .agg(
             F.max_by(
-                F.struct("description", "edge_confidence"), F.col("conv_id")
+                F.struct("description", "edge_confidence"),
+                F.array_max("conv_ids"),
             ).alias("p"),
-            F.array_sort(F.collect_set("conv_id")).alias("conv_ids"),
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("conv_ids")))).alias("cids"),
         )
         .select(
             "src", "dst", "pred",
             F.col("p.description").alias("description"),
             F.col("p.edge_confidence").alias("edge_confidence"),
-            "conv_ids",
+            F.col("cids").alias("conv_ids"),
         )
     )
 

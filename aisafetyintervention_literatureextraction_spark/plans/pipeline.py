@@ -36,7 +36,11 @@ from ..operators.canonicalize import (
 )
 from ..operators.components import connected_components
 from ..operators.extraction import extract_nodes, extract_triples
-from ..operators.materialize import materialize
+from ..operators.materialize import (
+    aggregate_raw_edges,
+    edge_agg_combiner,
+    materialize_from_agg,
+)
 from ..operators.reassembly import reassemble
 from ..session import get_spark
 from ..sources.extraction_json import validate_nodes, validate_triples
@@ -89,6 +93,7 @@ def stage_b_extract(cat: Catalog, cfg: PipelineConfig) -> tuple[DataFrame, DataF
             "triples_raw", "nodes_raw", "raw_inputs",
             "quarantine_triples", "quarantine_nodes",
         ])
+        ckpt.reconcile_versions(cat, ["edges_agg"])  # merge table → rollback
     docs = cat.read("documents")
     pending_docs = ckpt.pending(cat, "B_extract", docs) if cfg.resume else docs
     pending_docs = pending_docs.persist()
@@ -114,6 +119,13 @@ def stage_b_extract(cat: Catalog, cfg: PipelineConfig) -> tuple[DataFrame, DataF
     cat.append(n_ok, "nodes_raw", run_id=run_id)
     cat.append(t_bad, "quarantine_triples", run_id=run_id)   # F9 routed,
     cat.append(n_bad, "quarantine_nodes", run_id=run_id)     # not raised
+    # maintain the per-(subj, pred, obj) evidence aggregate incrementally
+    # (bucketed semigroup merge): stage D materializes from THIS table,
+    # so the triples_raw history is append-only archive, never rescanned
+    cat.merge_combine(
+        aggregate_raw_edges(t_ok), "edges_agg",
+        keys=["subj", "pred", "obj"], combiner=edge_agg_combiner, run_id=run_id,
+    )
     ckpt.mark_processed(cat, "B_extract", run_id, pending_docs.select("conv_id"))  # commit point
     # lineage/metrics describe THIS run's delta (O(delta), and the
     # per-partition conv_id ranges of the run's output are the useful
@@ -259,9 +271,16 @@ def stage_c_canonicalize(cat: Catalog, cfg: PipelineConfig) -> DataFrame:
 def stage_d_materialize(cat: Catalog, cfg: PipelineConfig):
     run_id = ckpt.new_run_id()
     t0 = time.time()
-    g = materialize(
+    # materialize from the incrementally-maintained edge aggregate —
+    # O(distinct raw edges), never a rescan of the triples history
+    # (fall back to aggregating triples_raw for legacy warehouses)
+    if cat.exists("edges_agg"):
+        edges_agg = cat.read("edges_agg")
+    else:
+        edges_agg = aggregate_raw_edges(cat.read("triples_raw"))
+    g = materialize_from_agg(
         cat.read("candidate_nodes"),
-        cat.read("triples_raw"),
+        edges_agg,
         cat.read("components"),
     )
     cat.overwrite(g.nodes, "kg_nodes")

@@ -175,3 +175,35 @@ def test_ingest_json_quarantine_and_suggestions(spark, warehouse):
     ingest_extraction_json(spark, cat, d, variant="b")
     assert cat.read("triples_raw").count() == 1
     assert cat.read("ontology_suggested").count() == 2
+
+
+def test_edges_agg_matches_full_rescan(spark, corpus, warehouse):
+    """The incrementally-merged edges_agg table must produce the same
+    graph as re-aggregating the full triples_raw history — across an
+    initial run plus an incremental one."""
+    from aisafetyintervention_literatureextraction_spark.operators.materialize import (
+        materialize,
+    )
+
+    df, _ = corpus
+    cat = Catalog(spark, warehouse)
+    convs = sorted(r["conv_id"] for r in df.select("conv_id").distinct().collect())
+    half = set(convs[: len(convs) // 2])
+    run_pipeline(spark, df.filter(F.col("conv_id").isin(half)), warehouse)
+    run_pipeline(spark, df, warehouse)  # incremental
+
+    ref = materialize(
+        cat.read("candidate_nodes"), cat.read("triples_raw"), cat.read("components")
+    )
+    cols = ["src", "dst", "pred", "description", "edge_confidence", "conv_ids"]
+
+    def norm(d):
+        return sorted(
+            (r["src"], r["dst"], r["pred"], r["description"],
+             r["edge_confidence"], tuple(r["conv_ids"]))
+            for r in d.select(cols).collect()
+        )
+
+    assert norm(cat.read("kg_edges")) == norm(ref.edges)
+    nid = lambda d: sorted(map(tuple, d.select("node_id", "canonical_name").collect()))
+    assert nid(cat.read("kg_nodes")) == nid(ref.nodes)
