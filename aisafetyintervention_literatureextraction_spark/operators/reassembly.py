@@ -52,6 +52,7 @@ def reassemble(
     transcripts: DataFrame,
     salt_segment: int = 4096,
     salted: bool = True,
+    allow_gaps: bool = False,
 ) -> ReassemblyResult:
     """transcripts → (documents, quarantine).
 
@@ -59,6 +60,12 @@ def reassemble(
     *range* salts (``floor(turn_idx/seg)``) — unlike hash salts they
     stay ordered, so phase 2 sorts segment headers (cheap: n/seg
     elements) and flattens, never re-sorting individual turns.
+
+    ``allow_gaps``: real transcript feeds can legitimately hold sparse
+    turn indices (deleted/redacted turns). Default False keeps the
+    strict contract (gap ⇒ quarantine, reason ``turn_index_gap``);
+    True assembles the present turns in order and only conflicting
+    duplicates quarantine.
     """
     t = transcripts.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
@@ -115,8 +122,10 @@ def reassemble(
         "has_conflict", F.size("turns") != F.col("n_turns")  # same idx, different payload
     ).withColumn(
         "has_gap",
-        (F.col("idx_min") != 0)
-        | (F.col("idx_max") != F.col("n_turns") - 1),
+        F.lit(False) if allow_gaps else (
+            (F.col("idx_min") != 0)
+            | (F.col("idx_max") != F.col("n_turns") - 1)
+        ),
     )
 
     quarantine = (

@@ -54,6 +54,7 @@ class PipelineConfig:
     jaccard_threshold: float = 0.5
     cosine_threshold: float = 0.6
     resume: bool = True
+    allow_gaps: bool = False               # sparse turn indices OK (no quarantine)
 
 
 def stage_a_reassemble(cat: Catalog, transcripts: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -64,7 +65,7 @@ def stage_a_reassemble(cat: Catalog, transcripts: DataFrame, cfg: PipelineConfig
         # (manifest-level, O(entries)) before computing the pending set
         ckpt.reconcile(cat, ["documents", "quarantine"])
     inp = ckpt.pending(cat, "A_reassemble", transcripts) if cfg.resume else transcripts
-    res = reassemble(inp, salt_segment=cfg.salt_segment)
+    res = reassemble(inp, salt_segment=cfg.salt_segment, allow_gaps=cfg.allow_gaps)
     # both deltas are multi-consumer (append + mark + lineage/metrics):
     # persist so reassembly runs once, and keep every per-run artifact
     # O(delta) — lineage/metrics over the whole table would silently

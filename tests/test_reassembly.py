@@ -75,3 +75,32 @@ def test_order_permutation_invariance(spark, corpus):
     a = reassemble(df).documents.select("conv_id", "doc_text")
     b = reassemble(shuffled).documents.select("conv_id", "doc_text")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_allow_gaps_mode(spark):
+    """Sparse-but-valid turn indices (deleted turns) assemble in order
+    under allow_gaps=True; the default still quarantines them, and
+    conflicting duplicates quarantine in BOTH modes."""
+    from aisafetyintervention_literatureextraction_spark.operators.reassembly import (
+        reassemble,
+    )
+    rows = [
+        ("sparse", 0, "user", "t0", None, None),
+        ("sparse", 2, "user", "t2", None, None),   # index 1 deleted
+        ("sparse", 5, "user", "t5", None, None),
+        ("dup", 0, "user", "a", None, None),
+        ("dup", 0, "user", "b", None, None),       # conflicting duplicate
+    ]
+    cols = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    df = spark.createDataFrame(rows, cols)
+
+    strict = reassemble(df)
+    assert {r["conv_id"]: r["reason"] for r in strict.quarantine.collect()} == {
+        "sparse": "turn_index_gap", "dup": "conflicting_duplicate_turn",
+    }
+
+    lax = reassemble(df, allow_gaps=True)
+    docs = {r["conv_id"]: r for r in lax.documents.collect()}
+    assert docs["sparse"]["doc_text"] == "t0\nt2\nt5"
+    assert docs["sparse"]["n_turns"] == 3
+    assert {r["conv_id"] for r in lax.quarantine.collect()} == {"dup"}
