@@ -87,7 +87,9 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query: broadcast the queries, one
     pass over the corpus, rank per query. Returns (query_id, vec_id,
-    cosine_sim, rank)."""
+    cosine_sim, rank). Scoring is the Arrow batch cosine — the
+    column-expression ``cosine`` stays available for callers needing
+    element-order-deterministic arithmetic (e.g. oracle parity)."""
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
@@ -95,7 +97,7 @@ def cosine_topk(
     scored = F.broadcast(q).crossJoin(c).select(
         "query_id",
         "vec_id",
-        cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+        cosine_fast(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("vec_id")
