@@ -198,10 +198,23 @@ class Catalog:
         """One multi-root FileScan over every live data dir — never a
         union of N plans, so read cost doesn't grow with commit count.
         Older files missing later-added columns surface them as null
-        (the manifest carries the authoritative merged schema)."""
+        (the manifest carries the authoritative merged schema).
+
+        A LIVE manifest entry whose data dir is missing on disk is an
+        error (vacuum bug / partial delete) — raising beats silently
+        serving an incomplete table. Only explicitly time-travelled
+        historical versions may have vacuumed (missing) dirs skipped.
+        """
         m = self._manifest(name, version)
         schema = StructType.fromJson(m["schema"])
         paths = [os.path.join(self._table_dir(name), e["path"]) for e in m["entries"]]
+        missing = [p for p in paths if not os.path.isdir(p)]
+        if missing and (version is None or version == self.current_version(name)):
+            raise FileNotFoundError(
+                f"table {name} v={m['version']}: {len(missing)} live manifest "
+                f"entries have no data dir on disk (first: {missing[0]}); "
+                "refusing to serve an incomplete table"
+            )
         paths = [p for p in paths if os.path.isdir(p)]
         if not paths:
             return self.spark.createDataFrame([], schema)
@@ -230,6 +243,14 @@ class Catalog:
         bucketing = m.get("bucketing")
         schema = self._merge_schema(StructType.fromJson(m["schema"]), df.schema)
         new_entries = self._write_data(df, name, run_id, bucketing)
+        if bucketing:
+            # rows appended to a merge-keyed table are an UNCOMBINED raw
+            # log: they may duplicate existing keys, and the next
+            # merge_combine must fold their buckets even if its own
+            # updates don't touch them (round-2 model-based bug:
+            # merge[(0,0)]; append[(0,0)]; merge[(1,0)] left a dup key).
+            for e in new_entries:
+                e["combined"] = False
         return self._commit_manifest(
             name, m["entries"] + new_entries, schema, bucketing
         )
@@ -322,6 +343,12 @@ class Catalog:
             r[0] for r in ups.select(_BUCKET_COL).distinct().collect()
         )  # ≤ n_buckets small ints — not a data collect
         touched_set = set(touched)
+        # every bucket holding an UNCOMBINED entry (plain append on a
+        # merge-keyed table) must also fold, or its duplicate keys
+        # survive the merge (missing-flag default True: merge-written)
+        touched_set |= {
+            e["bucket"] for e in m["entries"] if not e.get("combined", True)
+        }
         carried = [e for e in m["entries"] if e["bucket"] not in touched_set]
         base_paths = [
             os.path.join(self._table_dir(name), e["path"])
@@ -403,6 +430,12 @@ class Catalog:
         df = self.read(name)
         bucketing = m.get("bucketing")
         entries = self._write_data(df, name, run_id, bucketing)
+        if bucketing and not all(e.get("combined", True) for e in m["entries"]):
+            # a file-level rewrite must not forget that appended rows
+            # still await key-collapse by the next merge; per-bucket
+            # granularity is lost here, so mark everything uncombined
+            for e in entries:
+                e["combined"] = False
         return self._commit_manifest(
             name, entries, StructType.fromJson(m["schema"]), bucketing
         )

@@ -197,3 +197,59 @@ def test_empty_append_and_read_or_empty(spark, catalog):
     catalog.append(spark.createDataFrame([("a", 1)], "k string, v int"), "t")
     assert catalog.read("t").count() == 1
     assert catalog.read_or_empty("nope", "k string").count() == 0
+
+
+def test_merge_after_append_collapses_keys(spark, catalog):
+    """Round-2 VERDICT 'What's wrong #1' pinned repro: a plain append
+    on a merge-keyed table leaves UNCOMBINED entries whose buckets the
+    next merge must fold even when its own updates miss them.
+    merge[(0,0)]; append[(0,0)]; merge[(1,0)] must read [(0,0),(1,0)]."""
+    mk = lambda rows: spark.createDataFrame(rows, "k int, v int")
+    catalog.merge_upsert(mk([(0, 0)]), "t", keys=["k"], order_col="v", n_buckets=8)
+    catalog.append(mk([(0, 0)]), "t")
+    catalog.merge_upsert(mk([(1, 0)]), "t", keys=["k"], order_col="v", n_buckets=8)
+    got = sorted((r["k"], r["v"]) for r in catalog.read("t").collect())
+    assert got == [(0, 0), (1, 0)]
+
+
+def test_merge_after_append_lww_semantics(spark, catalog):
+    """Appended rows participate in LWW on the next merge: they beat
+    lower-ordered existing state, lose to higher, and merge updates
+    beat everything regardless of order."""
+    mk = lambda rows: spark.createDataFrame(rows, "k int, v int")
+    catalog.merge_upsert(
+        mk([(0, 10), (1, 1), (2, 5)]), "t", keys=["k"], order_col="v", n_buckets=8
+    )
+    catalog.append(mk([(0, 5), (1, 7)]), "t")   # 0: loses to 10; 1: beats 1
+    catalog.merge_upsert(mk([(2, 3)]), "t", keys=["k"], order_col="v", n_buckets=8)
+    got = dict((r["k"], r["v"]) for r in catalog.read("t").collect())
+    assert got == {0: 10, 1: 7, 2: 3}  # merge update 3 beats existing 5 (__gen)
+
+
+def test_compact_preserves_uncombined_flag(spark, catalog):
+    """compact is a file rewrite, not a key collapse — it must not
+    launder appended duplicates into 'combined' state."""
+    mk = lambda rows: spark.createDataFrame(rows, "k int, v int")
+    catalog.merge_upsert(mk([(0, 0)]), "t", keys=["k"], order_col="v", n_buckets=8)
+    catalog.append(mk([(0, 0)]), "t")
+    catalog.compact("t")
+    catalog.merge_upsert(mk([(1, 0)]), "t", keys=["k"], order_col="v", n_buckets=8)
+    got = sorted((r["k"], r["v"]) for r in catalog.read("t").collect())
+    assert got == [(0, 0), (1, 0)]
+
+
+def test_read_raises_on_missing_live_data_dir(spark, catalog):
+    """ADVICE r2: a live manifest entry with no data dir is damage —
+    raise instead of silently serving an incomplete table. Vacuumed
+    historical versions still read (skipping missing dirs)."""
+    import shutil
+
+    import pytest
+
+    mk = lambda rows: spark.createDataFrame(rows, "k int, v int")
+    catalog.overwrite(mk([(0, 0)]), "t")
+    catalog.append(mk([(1, 1)]), "t")
+    m = catalog._manifest("t")
+    shutil.rmtree(os.path.join(catalog._table_dir("t"), m["entries"][0]["path"]))
+    with pytest.raises(FileNotFoundError):
+        catalog.read("t").collect()
