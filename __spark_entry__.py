@@ -44,6 +44,9 @@ from aisafetyintervention_literatureextraction_spark.operators.similarity import
     cosine_pairs_exact,
     lsh_topk,
 )
+from aisafetyintervention_literatureextraction_spark.sources.raw_files import (
+    read_raw_files,
+)
 from aisafetyintervention_literatureextraction_spark.operators.textstats import (
     language_id,
     quality_features,
@@ -323,11 +326,12 @@ def q_dedup_token_jaccard(spark, sf_dir):
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs (ids only; threshold margin
     ≫ cross-engine float error — measured gap around 0.45 is ~5e-4).
-    EXACT answer via broadcast-GEMM block scan (cosine_pairs_exact):
-    no cartesian row join, corpus never shuffled — at cos 0.45 sign-
-    LSH has no blocking margin, so brute-force-with-BLAS is the honest
-    exact path; operators/similarity.cosine_pairs is the scale path
-    for high thresholds."""
+    EXACT answer via distributed block-pair cogroup GEMM
+    (cosine_pairs_exact): no cartesian row join, no driver collect,
+    no corpus broadcast — at cos 0.45 sign-LSH has no blocking margin,
+    so brute-force-with-BLAS is the honest exact path;
+    operators/similarity.cosine_pairs is the scale path for high
+    thresholds."""
     e = _t(spark, sf_dir, "embeddings")
     return cosine_pairs_exact(e, threshold=0.45).select("a_id", "b_id")
 
@@ -615,6 +619,42 @@ def q_kg_mention_spans(spark, sf_dir):
     )
 
 
+_RAW_FIXTURE = "/tmp/kg_raw_fixture_v1"
+
+
+def _ensure_raw_fixture() -> str:
+    """Deterministic raw-document directory shared by the Spark query
+    and the DuckDB oracle (content is a pure function of the index, so
+    both engines see identical bytes at every SF)."""
+    import pathlib
+
+    d = pathlib.Path(_RAW_FIXTURE)
+    d.mkdir(parents=True, exist_ok=True)
+    for i in range(24):
+        p = d / f"doc_{i:03d}.txt"
+        body = f"raw document {i}\n" + ("lorem ipsum " * (i + 1)).strip()
+        if not p.exists() or p.read_text(encoding="utf-8") != body:
+            p.write_text(body, encoding="utf-8")
+    binp = d / "ignore.bin"  # must be excluded by the glob pushdown
+    if not binp.exists():
+        binp.write_bytes(b"\x00\x01")
+    return str(d)
+
+
+def q_s1_raw_files(spark, sf_dir):
+    """S1 raw-file half (sources/raw_files.py): binaryFile directory
+    scan with glob pushdown and stem ids (C2) — the reference's PDF-dir
+    input shape (reference extract.py:62-79). Oracle: DuckDB read_blob
+    over the same fixture dir."""
+    d = _ensure_raw_fixture()
+    f = read_raw_files(spark, d, glob="*.txt")
+    return f.select(
+        "doc_id",
+        F.col("n_bytes").cast("int").alias("n_bytes"),
+        F.substring(F.decode("content", "UTF-8"), 1, 20).alias("head"),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -662,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_topk": q_sim_lsh_topk,
         "kg_pipeline_triples": q_kg_pipeline_triples,
         "kg_mention_spans": q_kg_mention_spans,
+        "s1_raw_files": q_s1_raw_files,
     }
 
 
@@ -1008,5 +1049,11 @@ def oracle_sql() -> dict[str, str]:
                    off AS span_start,
                    CAST(off + strpos(p, ']') - 1 AS INTEGER) AS span_end
             FROM offs WHERE i > 1 AND strpos(p, ']') > 0
+        """,
+        "s1_raw_files": f"""
+            SELECT parse_filename(filename, true) AS doc_id,
+                   CAST(octet_length(content) AS INTEGER) AS n_bytes,
+                   substr(decode(content), 1, 20) AS head
+            FROM read_blob('{_RAW_FIXTURE}/*.txt')
         """,
     }

@@ -74,13 +74,20 @@ def hamming64(a: Column, b: Column) -> Column:
 
 def _pack_shingles(texts, k: int):
     """uint64 shingle codes + segment starts for a batch of strings.
-    k ≤ 8 (codes are byte-windows packed into one word)."""
+    k ≤ 8 (codes are byte-windows packed into one word).
+
+    Documents are flattened with k-1 sentinel NUL bytes between them so
+    a sub-k-length document's single window pads with NULs instead of
+    reading the NEXT document's bytes (ADVICE r2: neighbor-dependent
+    short-doc signatures broke the deterministic-across-partitionings
+    contract)."""
     import numpy as np
 
     data = [(t or "").lower().encode("utf-8") for t in texts]
     lens = np.fromiter(map(len, data), dtype=np.int64, count=len(data))
-    flat = np.frombuffer(b"".join(data) + b"\x00" * k, dtype=np.uint8)
-    offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    sep = b"\x00" * (k - 1)
+    flat = np.frombuffer(sep.join(data) + b"\x00" * k, dtype=np.uint8)
+    offsets = np.concatenate(([0], np.cumsum(lens + (k - 1))[:-1]))
     counts = np.maximum(lens - k + 1, 1)
     seg_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
     total = int(counts.sum())

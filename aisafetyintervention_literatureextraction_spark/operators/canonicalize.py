@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.caching import track
 from ..functions.hashing import lsh_bands, minhash_signature, stable_node_id
 from ..functions.text import node_text, snake_case, tokenize
 
@@ -219,7 +220,7 @@ def lsh_candidate_pairs(
     rows = num_hashes // bands
     # persist the tokenized features: they feed the signature job, the
     # bucket-size job, and the two token re-attach joins below
-    feats = _feature_tokens(nodes).select("node_id", "tokens").persist()
+    feats = track(_feature_tokens(nodes).select("node_id", "tokens"))
     sig = feats.withColumn("sig", minhash_signature(F.col("tokens"), num_hashes))
     # bucketed rows are NARROW (ids only): the pre-dedup candidate set
     # can be orders of magnitude larger than the surviving pairs, so
@@ -229,7 +230,7 @@ def lsh_candidate_pairs(
         "node_id",
         F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("bb"),
     ).select("node_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    bucketed = bucketed.persist()
+    bucketed = track(bucketed)
 
     # drop degenerate hot buckets before the self-join (skew control)
     bucket_sizes = bucketed.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
@@ -381,8 +382,8 @@ def similarity_edges(
     re-rank + CC) — all node-scale, so stage C stays
     O(distinct nodes), not O(turns), as the corpus grows.
     """
-    nodes = with_node_text(candidate_nodes(nodes_raw)).persist()
-    buckets = node_bucket_rows(nodes).persist()
+    nodes = track(with_node_text(candidate_nodes(nodes_raw)))
+    buckets = track(node_bucket_rows(nodes))
     cand = bucket_join_pairs(buckets, buckets)
     fuzzy = verify_pairs(
         cand, nodes, jaccard_threshold, cosine_threshold, same_type_only

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.caching import track
 from ..functions.hashing import (
     hamming64,
     lsh_bands,
@@ -64,10 +65,10 @@ def _lsh_verified_pairs(
     Jaccard on the surviving pairs' token sets. Persists its fan-out
     intermediates (each feeds 2-3 consumers)."""
     rows = num_hashes // bands
-    sig = sig.persist()
-    b = sig.select(
+    sig = track(sig)
+    b = track(sig.select(
         "doc_id", F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("bb")
-    ).select("doc_id", "bb.band", "bb.bucket").persist()
+    ).select("doc_id", "bb.band", "bb.bucket"))
     hot = b.groupBy("band", "bucket").count().filter(F.col("count") > max_bucket)
     b = b.join(F.broadcast(hot.select("band", "bucket")), ["band", "bucket"], "left_anti")
     cand = (
@@ -154,7 +155,8 @@ def ngram_jaccard_duplicates(
     feat = docs.select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(word_ngrams(tokenize(F.col(text_col)), n)).alias("toks"),
-    ).filter(F.size("toks") > 0).persist()  # feeds signatures + both verify joins
+    ).filter(F.size("toks") > 0)
+    feat = track(feat)  # feeds signatures + both verify joins
     sig = feat.select(
         "doc_id", minhash_tokens_signature(F.col("toks"), num_hashes).alias("sig")
     )
@@ -203,9 +205,9 @@ def simhash_near_duplicates(
         )
         for i in range(n_bands)
     ])
-    b = fp.select("doc_id", "fp", F.explode(bandcols).alias("bb")).select(
+    b = track(fp.select("doc_id", "fp", F.explode(bandcols).alias("bb")).select(
         "doc_id", "fp", "bb.band", "bb.bits"
-    ).persist()  # feeds both sides of the band self-join
+    ))  # feeds both sides of the band self-join
     left = b.select("band", "bits", F.col("doc_id").alias("a_id"), F.col("fp").alias("a_fp"))
     right = b.select("band", "bits", F.col("doc_id").alias("b_id"), F.col("fp").alias("b_fp"))
     cand = (
@@ -224,7 +226,8 @@ def simhash_near_duplicates(
         sh = docs.select(
             F.col(id_col).alias("doc_id"),
             char_shingles(F.col(text_col), shingle_k).alias("sh"),
-        ).persist()  # reused by both endpoint-attach joins
+)
+        sh = track(sh)  # reused by both endpoint-attach joins
         return (
             cand.filter(hamming64(F.col("a_fp"), F.col("b_fp")) <= prefilter_hamming)
             .select("a_id", "b_id")

@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from ..functions.caching import track
+
 
 def _dot(a, b) -> F.Column:
     return F.aggregate(
@@ -202,7 +204,8 @@ def cosine_pairs(
     vb = v.select(
         "vec_id",
         F.posexplode(sign_band_buckets(F.col("vec"), bands, bits)).alias("band", "bucket"),
-    ).persist()  # feeds both sides of the bucket self-join
+)
+    vb = track(vb)  # feeds both sides of the bucket self-join
     left = vb.select("band", "bucket", F.col("vec_id").alias("a_id"))
     right = vb.select("band", "bucket", F.col("vec_id").alias("b_id"))
     cand = (

@@ -65,10 +65,16 @@ def _close(key: tuple, idxs, texts, roles, tools) -> pd.DataFrame:
     (One deliberate difference from batch: the dedupe key here excludes
     ``ts``, so an identical turn re-sent with a new timestamp collapses
     instead of quarantining — re-delivery is normal on a stream.)"""
-    turns = sorted({
-        (i, t, r, tl if tl is not None else "")
-        for i, t, r, tl in zip(idxs, texts, roles, tools)
-    })
+    turns = sorted(
+        {
+            (i, t, r, tl if tl is not None else "")
+            for i, t, r, tl in zip(idxs, texts, roles, tools)
+        },
+        # null text/role turns must not crash the query (ADVICE r2);
+        # None sorts first, matching Spark's ASC NULLS FIRST struct
+        # ordering in the batch path's array_sort
+        key=lambda x: (x[0], x[1] is not None, x[1] or "", x[2] is not None, x[2] or ""),
+    )
     distinct_idx = sorted({t[0] for t in turns})
     n = len(distinct_idx)
     if len(turns) != n:
@@ -85,7 +91,8 @@ def _close(key: tuple, idxs, texts, roles, tools) -> pd.DataFrame:
     return pd.DataFrame({
         "conv_id": [key[0]],
         "n_turns": [n],
-        "doc_text": [TURN_SEP.join(t[1] for t in turns)],
+        # skip null texts like the batch path's array_join does
+        "doc_text": [TURN_SEP.join(t[1] for t in turns if t[1] is not None)],
         "reason": [None],
     })
 

@@ -104,12 +104,15 @@ def bench_extraction(spark, path: str) -> dict:
 def bench_queries(spark, sf_dir: str) -> dict:
     import __spark_entry__ as em
 
+    from aisafetyintervention_literatureextraction_spark.functions.caching import release_caches
+
     out = {}
     qs = em.queries()
     for name in sorted(em.oracle_sql()):
         t0 = time.time()
         qs[name](spark, sf_dir).count()
         out[name] = round(time.time() - t0, 3)
+        release_caches()  # operator-persisted intermediates die with the query
     return out
 
 

@@ -108,3 +108,47 @@ def test_dedup_keep_first_string_ids(spark):
     assert "url_c" in ids
     assert len(ids) == 2  # one survivor of {a,b} + the unique doc
     assert len(ids & {"url_a", "url_b"}) == 1
+
+
+def test_pack_shingles_segment_isolation():
+    """ADVICE r2 (medium): a sub-k-length document's shingle codes must
+    not depend on its batch neighbors — windows never cross segment
+    boundaries (k-1 NUL sentinels between docs)."""
+    import numpy as np
+
+    from aisafetyintervention_literatureextraction_spark.functions.hashing import (
+        _pack_shingles,
+    )
+
+    k = 5
+    alone, s0 = _pack_shingles(["ab"], k)
+    paired, s1 = _pack_shingles(["ab", "zzzzzzzzzz"], k)
+    assert list(s1[:2]) == [0, 1]
+    assert alone[0] == paired[0]  # short doc's single window is neighbor-free
+    # and long-doc windows are unaffected by a short predecessor
+    solo_long, _ = _pack_shingles(["zzzzzzzzzz"], k)
+    np.testing.assert_array_equal(solo_long, paired[1:])
+    # empty docs hash identically wherever they appear
+    e1, _ = _pack_shingles([""], k)
+    e2, st = _pack_shingles(["abcdefgh", ""], k)
+    assert e1[0] == e2[st[1]]
+
+
+def test_operator_caches_released(spark, neardup_docs):
+    """ADVICE r2: operator-persisted intermediates are tracked and
+    reclaimable — release_caches() after materialization leaves no
+    cached plans behind for a long-lived driver to leak."""
+    from aisafetyintervention_literatureextraction_spark.functions.caching import (
+        release_caches,
+    )
+
+    def n_cached():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    release_caches()  # drain anything earlier tests tracked
+    before = n_cached()
+    minhash_near_duplicates(neardup_docs, threshold=0.8).count()
+    assert n_cached() > before  # the operator did cache fan-out plans
+    n = release_caches()
+    assert n >= 2  # sig + bucket rows
+    assert n_cached() == before  # ...and released ALL of them

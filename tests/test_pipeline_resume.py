@@ -207,3 +207,46 @@ def test_edges_agg_matches_full_rescan(spark, corpus, warehouse):
     assert norm(cat.read("kg_edges")) == norm(ref.edges)
     nid = lambda d: sorted(map(tuple, d.select("node_id", "canonical_name").collect()))
     assert nid(cat.read("kg_nodes")) == nid(ref.nodes)
+
+
+def test_stage_d_crash_rolls_back_torn_graph(spark, corpus, warehouse):
+    """VERDICT r2 'What's wrong #4': stage D's three overwrites are one
+    atomic unit — a crash after kg_nodes but before the commit point
+    must leave readers on the consistent pre-crash graph, and the next
+    run's reconcile_versions restores it before recomputing."""
+    from aisafetyintervention_literatureextraction_spark.plans.pipeline import (
+        PipelineConfig,
+        stage_d_materialize,
+    )
+
+    df, _ = corpus
+    cat = Catalog(spark, warehouse)
+    run_pipeline(spark, df, warehouse)
+    nodes_before = sorted(r["node_id"] for r in cat.read("kg_nodes").collect())
+    v_nodes = cat.current_version("kg_nodes")
+
+    # simulate a crash mid-stage-D: kg_nodes got its overwrite, the
+    # other two tables and the state commit never landed
+    torn_run = "deadbeefcafe"
+    cat.overwrite(
+        spark.createDataFrame([(999999, "torn")], "node_id long, name string"),
+        "kg_nodes",
+        run_id=torn_run,
+    )
+    assert cat.current_version("kg_nodes") == v_nodes + 1
+
+    # resume: reconcile_versions rolls the torn version back…
+    rolled = ckpt.reconcile_versions(cat, ["kg_nodes", "kg_edges", "dangling"])
+    assert rolled["kg_nodes"] == 1
+    assert (
+        sorted(r["node_id"] for r in cat.read("kg_nodes").collect()) == nodes_before
+    )
+
+    # …and a full stage-D rerun recommits a tagged, committed version
+    stage_d_materialize(cat, PipelineConfig(warehouse=warehouse))
+    assert (
+        sorted(r["node_id"] for r in cat.read("kg_nodes").collect()) == nodes_before
+    )
+    m = cat._manifest("kg_nodes")
+    assert m["run_id"] is not None
+    assert m["run_id"] in ckpt.committed_run_ids(cat)

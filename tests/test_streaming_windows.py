@@ -128,3 +128,24 @@ def test_stateful_reassembly_matches_batch(spark, tmp_path):
         assert s["doc_text"] == r["doc_text"]
         assert s["n_turns"] == r["n_turns"]
     assert got["g"]["reason"] == "turn_index_gap"
+
+
+def test_stateful_close_tolerates_null_payload():
+    """ADVICE r2: a null-text or null-role turn must not crash the
+    stream's close path (batch path tolerates nulls). Null text is
+    skipped in doc_text, mirroring array_join's null-skip semantics."""
+    from aisafetyintervention_literatureextraction_spark.streaming.stateful import (
+        _close,
+    )
+
+    out = _close(
+        ("c",),
+        [0, 1, 2],
+        ["hello", None, "world"],
+        [None, "user", "assistant"],
+        [None, None, "t"],
+    )
+    row = out.iloc[0]
+    assert row["reason"] is None
+    assert row["doc_text"] == "hello\nworld"
+    assert row["n_turns"] == 3
