@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from .. import checkpoint as ckpt
 from ..catalog import Catalog
 from ..functions import caching
+from ..iceberg_backend import make_catalog
 from ..operators.canonicalize import (
     alias_identity_edges,
     bucket_join_pairs,
@@ -56,6 +57,7 @@ class PipelineConfig:
     cosine_threshold: float = 0.6
     resume: bool = True
     allow_gaps: bool = False               # sparse turn indices OK (no quarantine)
+    catalog_backend: str = "auto"          # "auto" | "manifest" | "iceberg"
 
 
 def stage_a_reassemble(cat: Catalog, transcripts: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -313,7 +315,9 @@ def run_pipeline(
     spark: SparkSession, transcripts: DataFrame, warehouse: str, **kwargs
 ) -> dict:
     cfg = PipelineConfig(warehouse=warehouse, **kwargs)
-    cat = Catalog(spark, warehouse)
+    # dispatches to the native Iceberg runtime when one is configured
+    # (iceberg_backend.make_catalog); the manifest catalog otherwise
+    cat = make_catalog(spark, warehouse, backend=cfg.catalog_backend)
     t0 = time.time()
     stage_a_reassemble(cat, transcripts, cfg)
     stage_b_extract(cat, cfg)

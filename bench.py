@@ -101,6 +101,41 @@ def bench_extraction(spark, path: str) -> dict:
             "wall_cold_s": walls[0]}
 
 
+def bench_bucketed(spark, path: str) -> dict:
+    """Storage-partitioned input evidence (VERDICT r2 next-step #4):
+    time Stage A reassembly over the plain parquet corpus vs the same
+    corpus written bucketed on conv_id — the bucketed plan has ZERO
+    exchanges (plan-locked in tests/test_bucketed_input.py), so the
+    delta is the cost of the pipeline's one wide shuffle."""
+    from aisafetyintervention_literatureextraction_spark.operators.reassembly import (
+        reassemble,
+    )
+    from aisafetyintervention_literatureextraction_spark.sources.transcripts import (
+        read_transcripts_bucketed,
+        write_transcripts_bucketed,
+    )
+
+    table = "kg_bench_transcripts_bucketed"
+    if not spark.catalog.tableExists(table):
+        write_transcripts_bucketed(spark.read.parquet(path), table, n_buckets=64)
+
+    def time_reassembly(df):
+        walls = []
+        for _ in range(2):
+            t0 = time.time()
+            reassemble(df).documents.count()
+            walls.append(time.time() - t0)
+        return min(walls)
+
+    plain = time_reassembly(spark.read.parquet(path))
+    bucketed = time_reassembly(read_transcripts_bucketed(spark, table))
+    return {
+        "plain_reassembly_s": round(plain, 3),
+        "bucketed_reassembly_s": round(bucketed, 3),
+        "shuffle_elision_speedup": round(plain / max(bucketed, 1e-9), 3),
+    }
+
+
 def bench_queries(spark, sf_dir: str) -> dict:
     import __spark_entry__ as em
 
@@ -149,7 +184,9 @@ def run_once(cpus: int, sf_dir: str, skip_queries: bool = False,
         spark.read.parquet(path).limit(10).count()
         ext = bench_extraction(spark, path)
         queries = {} if skip_queries else bench_queries(spark, sf_dir)
-        return {"extraction": ext, "queries": queries, "n_convs": n_convs}
+        bucketed = {} if skip_queries else bench_bucketed(spark, path)
+        return {"extraction": ext, "queries": queries,
+                "bucketed_input": bucketed, "n_convs": n_convs}
     finally:
         spark.stop()
 
@@ -260,6 +297,7 @@ def main() -> None:
         "sf": sf,
         "n_triples": res["extraction"]["n_triples"],
         "extraction_wall_s": round(res["extraction"]["wall_s"], 2),
+        "bucketed_input": res["bucketed_input"],
         "cpus": args.cpus,
     }))
 
