@@ -137,3 +137,123 @@ def test_ppm_stream_frame_sampling(spark):
     for fr in frames:
         img = decode_ppm(bytes(fr["frame_payload"]))
         assert img is not None and img.shape == (4, 4, 3)
+
+
+# ---------------------------------------------------------------------------
+# r3: real PNG codec + real AVI demux (VERDICT r2 next-step #6)
+# ---------------------------------------------------------------------------
+
+def _rand_img(h, w, ch, seed=7):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    a = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+    return a[:, :, 0] if ch == 1 else a
+
+
+def test_png_roundtrip_all_filters():
+    """decode_png inverts encode_png exactly for every spec filter
+    (0..4) and a mixed per-row schedule, on RGB/gray/RGBA."""
+    import numpy as np
+
+    from aisafetyintervention_literatureextraction_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rgb = _rand_img(13, 9, 3)
+    for ft in (0, 1, 2, 3, 4):
+        got = decode_png(encode_png(rgb, filter_type=ft))
+        np.testing.assert_array_equal(got, rgb), ft
+    mixed = [y % 5 for y in range(13)]
+    np.testing.assert_array_equal(decode_png(encode_png(rgb, mixed)), rgb)
+
+    gray = _rand_img(6, 5, 1)
+    got = decode_png(encode_png(gray, filter_type=4))
+    np.testing.assert_array_equal(got, np.repeat(gray[:, :, None], 3, axis=2))
+
+    rgba = _rand_img(4, 7, 4)
+    got = decode_png(encode_png(rgba, filter_type=2))
+    np.testing.assert_array_equal(got, rgba[:, :, :3])
+
+
+def test_png_rejects_unsupported():
+    from aisafetyintervention_literatureextraction_spark.operators.multimodal import (
+        decode_png,
+    )
+
+    assert decode_png(b"not a png") is None
+    assert decode_png(b"") is None
+    assert decode_png(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8) is None
+
+
+def test_decode_images_real_png(spark):
+    """The distributed decode path reports real dims + channel means
+    for PNG payloads ('png' decoder, not stub)."""
+    import numpy as np
+
+    from aisafetyintervention_literatureextraction_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_images,
+        encode_png,
+        extract_features,
+    )
+
+    img = _rand_img(16, 12, 3, seed=3)
+    rows = [
+        {"media_id": 1, "kind": "image", "mime": "image/png",
+         "payload": bytearray(encode_png(img, filter_type=4)),
+         "width": None, "height": None, "duration_ms": None},
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = decode_images(media).collect()[0]
+    assert got["decoder"] == "png"
+    assert (got["width"], got["height"]) == (12, 16)
+    np.testing.assert_allclose(
+        got["mean_rgb"], img.reshape(-1, 3).mean(axis=0), rtol=1e-5
+    )
+    feat = extract_features(media).collect()[0]
+    assert feat["decoder"] == "png"
+    assert len(feat["feature"]) == 16
+
+
+def _build_avi(frames: list[bytes]) -> bytes:
+    """Minimal valid-enough RIFF/AVI: one movi LIST of 00dc chunks."""
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + len(body).to_bytes(4, "little") + body + pad
+
+    movi_body = b"movi" + b"".join(chunk(b"00dc", f) for f in frames)
+    movi = chunk(b"LIST", movi_body)
+    riff_body = b"AVI " + movi
+    return b"RIFF" + len(riff_body).to_bytes(4, "little") + riff_body
+
+
+def test_avi_demux_and_frame_decode(spark):
+    """sample_frames demuxes a real RIFF/AVI container and the sampled
+    frame payloads decode back to the original pixels (PNG-in-AVI)."""
+    import numpy as np
+
+    from aisafetyintervention_literatureextraction_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_png,
+        demux_avi,
+        encode_png,
+        sample_frames,
+    )
+
+    imgs = [_rand_img(8, 8, 3, seed=i) for i in range(6)]
+    avi = _build_avi([encode_png(im) for im in imgs])
+    assert len(demux_avi(avi)) == 6
+    assert demux_avi(b"RIFF\x00\x00\x00\x00WAVE") is None  # not AVI
+
+    rows = [{"media_id": 9, "kind": "video", "mime": "video/x-msvideo",
+             "payload": bytearray(avi), "width": None, "height": None,
+             "duration_ms": 6000}]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    frames = sorted(
+        sample_frames(media, every_ms=1000).collect(), key=lambda r: r["frame_idx"]
+    )
+    assert len(frames) == 6
+    for i, fr in enumerate(frames):
+        np.testing.assert_array_equal(decode_png(bytes(fr["frame_payload"])), imgs[i])
