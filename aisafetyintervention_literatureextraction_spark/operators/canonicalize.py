@@ -383,6 +383,25 @@ def similarity_edges(
     O(distinct nodes), not O(turns), as the corpus grows.
     """
     nodes = track(with_node_text(candidate_nodes(nodes_raw)))
+    edges = edges_from_candidates(
+        nodes, jaccard_threshold, cosine_threshold, same_type_only, top_n_pairs
+    )
+    return nodes, edges
+
+
+def edges_from_candidates(
+    nodes: DataFrame,
+    jaccard_threshold: float = 0.6,
+    cosine_threshold: float = 0.7,
+    same_type_only: bool = True,
+    top_n_pairs: int | None = None,
+) -> DataFrame:
+    """Full-pass merge edges from an already-aggregated candidate-node
+    set (with node text): LSH buckets → pair self-join → exact Jaccard
+    + TF-IDF verify → union with alias-identity edges. Shared by the
+    from-scratch stage C and by stage-C COMPACTION — the periodic full
+    re-score that reconverges an incremental warehouse's frozen pair
+    scores (and drops stale pairs) to the from-scratch state."""
     buckets = track(node_bucket_rows(nodes))
     cand = bucket_join_pairs(buckets, buckets)
     fuzzy = verify_pairs(
@@ -401,4 +420,4 @@ def similarity_edges(
         edges = edges.orderBy(
             F.desc("similarity"), F.asc("a_id"), F.asc("b_id")
         ).limit(top_n_pairs)
-    return nodes, edges
+    return edges

@@ -8,6 +8,9 @@ Real decode coverage (no codec libraries — numpy + stdlib zlib):
   end-to-end on actual pixels, distributed.
 - video: RIFF/AVI containers demux their real stream chunks
   (demux_avi), and x-ppm-stream splits real P6 frames.
+- audio: RIFF/WAVE PCM (8/16/32-bit int + float32) decodes to real
+  samples; extract_audio_features computes RMS/ZCR/duration
+  distributed.
 JPEG/MP4 stay behind the optional PIL import (`_HAS_CODECS`);
 payloads no decoder claims fall back to a deterministic digest
 feature so a mixed corpus never aborts.
@@ -301,6 +304,127 @@ def demux_avi(payload: bytes):
 
     walk(12, len(payload))
     return frames
+
+
+def decode_wav(payload: bytes):
+    """Pure-stdlib RIFF/WAVE PCM decoder: 8/16/32-bit integer and
+    32-bit float PCM → (samples float64 (n, channels) in [-1, 1],
+    sample_rate), or None. The audio twin of decode_png — real samples
+    with no codec libraries."""
+    import numpy as np
+
+    if (
+        not payload
+        or len(payload) < 12
+        or not payload.startswith(b"RIFF")
+        or payload[8:12] != b"WAVE"
+    ):
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        ln = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + ln]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_fmt = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if not channels or not rate:
+        return None
+    if audio_fmt == 1 and bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif audio_fmt == 1 and bits == 8:  # 8-bit WAV is unsigned
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif audio_fmt == 1 and bits == 32:
+        x = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2147483648.0
+    elif audio_fmt == 3 and bits == 32:
+        x = np.frombuffer(data, dtype="<f4").astype(np.float64)
+    else:
+        return None
+    n = len(x) - len(x) % channels
+    return x[:n].reshape(-1, channels), rate
+
+
+def encode_wav(samples, rate: int) -> bytes:
+    """16-bit PCM WAV encoder (test-fixture twin of decode_wav)."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.float64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    ch = arr.shape[1]
+    pcm = np.clip(np.round(arr * 32767.0), -32768, 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + len(body).to_bytes(4, "little") + body + pad
+
+    body = b"WAVE" + chunk(b"fmt ", fmt) + chunk(b"data", pcm)
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+AUDIO_FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("sample_rate", IntegerType(), True),
+    StructField("n_channels", IntegerType(), True),
+    StructField("duration_ms", IntegerType(), True),
+    StructField("rms", FloatType(), True),
+    StructField("zero_crossing_rate", FloatType(), True),
+    StructField("decoder", StringType(), True),
+])
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """WAV payload → real signal features (rate, channels, duration,
+    RMS, zero-crossing rate) via mapInPandas; undecodable payloads
+    emit null features with decoder=null (quarantine-style, the batch
+    never aborts)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = {k: [] for k in (
+                "media_id", "sample_rate", "n_channels", "duration_ms",
+                "rms", "zero_crossing_rate", "decoder",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                dec = decode_wav(bytes(payload) if payload is not None else b"")
+                rows["media_id"].append(mid)
+                if dec is None:
+                    for k in ("sample_rate", "n_channels", "duration_ms",
+                              "rms", "zero_crossing_rate", "decoder"):
+                        rows[k].append(None)
+                    continue
+                x, rate = dec
+                mono = x.mean(axis=1)
+                zc = (
+                    float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                    if len(mono) > 1 else 0.0
+                )
+                rows["sample_rate"].append(rate)
+                rows["n_channels"].append(x.shape[1])
+                rows["duration_ms"].append(int(len(x) * 1000 / rate))
+                rows["rms"].append(float(np.sqrt((mono ** 2).mean())) if len(mono) else 0.0)
+                rows["zero_crossing_rate"].append(zc)
+                rows["decoder"].append("wav-pcm")
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=AUDIO_FEATURES_SCHEMA
+    )
 
 
 def decode_image(payload: bytes, mime: str | None = None):

@@ -235,7 +235,7 @@ def cosine_pairs_exact(
     broadcast of the corpus (VERDICT r2 'What's wrong #2' fixed).
 
     Physical shape: rows hash into ``n_blocks`` blocks on the id; each
-    unordered block pair (i ≤ j) becomes one cogroup whose task
+    unordered block pair (i ≤ j) becomes one grouped task that
     computes its sub-matrix of similarities in a single numpy GEMM and
     emits only pairs over threshold. Same O(n²) flops as a broadcast
     scan, but peak memory is per-TASK: 2·(n/B)·dim doubles — at 100 TB
@@ -248,34 +248,40 @@ def cosine_pairs_exact(
     no LSH margin (e.g. 0.45 — sign-LSH band-match probability at
     cos 0.45 is too low for complete recall); use :func:`cosine_pairs`
     when the threshold is high enough to block on."""
-    spark = vectors.sparkSession
     rows = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
     id_dt = rows.schema["vec_id"].dataType.simpleString()
-    def side(match_col: str) -> DataFrame:
-        # built from scratch per side: fresh expression ids keep the
-        # cogroup's two grouped children unambiguous (a shared plan
-        # trips Spark's self-join ambiguity check)
-        v = vectors.select(
-            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
-        ).withColumn("blk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int"))
-        # the block-pair fanout table is B(B+1)/2 rows — broadcast of a
-        # CONSTANT, not of the corpus
-        pairs = F.broadcast(
-            spark.createDataFrame(
-                [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
-                "pa int, pb int",
-            )
-        )
-        return v.join(pairs, F.col("blk") == F.col(match_col)).select(
-            "pa", "pb", "vec_id", "vec"
-        )
+    v = rows.withColumn(
+        "blk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int")
+    )
+    # ONE corpus scan, ONE shuffle: each row explodes directly to its
+    # block pairs — role 'l' where its block is the pa side (pa=blk,
+    # pb>=blk), role 'r' where it is the pb side (pa<=blk, pb=blk).
+    # Diagonal rows carry both roles, reproducing a cogroup's two sides
+    # without scanning or shuffling the corpus twice.
+    fanout = F.concat(
+        F.transform(
+            F.sequence(F.col("blk"), F.lit(n_blocks - 1)),
+            lambda j: F.struct(
+                F.col("blk").alias("pa"), j.alias("pb"), F.lit("l").alias("role")
+            ),
+        ),
+        F.transform(
+            F.sequence(F.lit(0), F.col("blk")),
+            lambda j: F.struct(
+                j.alias("pa"), F.col("blk").alias("pb"), F.lit("r").alias("role")
+            ),
+        ),
+    )
+    g = v.select("vec_id", "vec", F.explode(fanout).alias("g")).select(
+        "g.pa", "g.pb", "g.role", "vec_id", "vec"
+    )
 
-    left, right = side("pa"), side("pb")
-
-    def gemm(key, lpdf, rpdf):
+    def gemm(key, pdf):
         import numpy as np
 
         empty = pd.DataFrame({"a_id": [], "b_id": [], "cosine_sim": []})
+        lpdf = pdf[pdf["role"] == "l"]
+        rpdf = pdf[pdf["role"] == "r"]
         if len(lpdf) == 0 or len(rpdf) == 0:
             return empty
         A = np.stack(lpdf["vec"].to_numpy()).astype(np.float64)
@@ -297,7 +303,7 @@ def cosine_pairs_exact(
                 {"a_id": a[keep], "b_id": b[keep], "cosine_sim": s[keep]}
             )
         # off-diagonal: each unordered pair appears exactly once
-        # (same id → same block); canonicalize the order
+        # (same id -> same block); canonicalize the order
         return pd.DataFrame(
             {
                 "a_id": np.minimum(a, b),
@@ -306,10 +312,8 @@ def cosine_pairs_exact(
             }
         )
 
-    return (
-        left.groupBy("pa", "pb")
-        .cogroup(right.groupBy("pa", "pb"))
-        .applyInPandas(gemm, schema=f"a_id {id_dt}, b_id {id_dt}, cosine_sim double")
+    return g.groupBy("pa", "pb").applyInPandas(
+        gemm, schema=f"a_id {id_dt}, b_id {id_dt}, cosine_sim double"
     )
 
 

@@ -30,6 +30,7 @@ from ..operators.canonicalize import (
     alias_identity_edges,
     bucket_join_pairs,
     candidate_nodes,
+    edges_from_candidates,
     merge_candidate_nodes,
     node_bucket_rows,
     similarity_edges,
@@ -269,6 +270,44 @@ def stage_c_canonicalize(cat: Catalog, cfg: PipelineConfig) -> DataFrame:
         "wall_s": time.time() - t0,
     })
     return cat.read("components")
+
+
+def stage_c_compact(cat: Catalog, cfg: PipelineConfig) -> None:
+    """Stage-C COMPACTION — the 'LSM-style freeze' counterpart promised
+    in similarity_edges's docstring: incremental runs score new pairs
+    with the IDF of their write time and never re-open (or delete)
+    persisted pairs, so a long-lived warehouse slowly drifts from what
+    a from-scratch build would score. This maintenance pass recomputes
+    signatures, buckets, candidate pairs and TF-IDF from the CURRENT
+    candidate_nodes and overwrites node_buckets/node_pairs/components —
+    after it, the warehouse is byte-equal to a from-scratch stage C
+    (tested). O(distinct nodes); run on a table-maintenance cadence,
+    like Iceberg rewrite_data_files."""
+    run_id = ckpt.new_run_id()
+    t0 = time.time()
+    if cfg.resume:
+        ckpt.reconcile_versions(cat, C_TABLES)
+    nodes = caching.track(cat.read("candidate_nodes"))
+    edges = edges_from_candidates(
+        nodes,
+        jaccard_threshold=cfg.jaccard_threshold,
+        cosine_threshold=cfg.cosine_threshold,
+    )
+    cat.overwrite(node_bucket_rows(nodes), "node_buckets", run_id=run_id)
+    cat.overwrite(edges, "node_pairs", run_id=run_id)
+    comps = connected_components(nodes.select("node_id"), cat.read("node_pairs"))
+    cat.overwrite(comps, "components", run_id=run_id)
+    # commit point: sentinel state row makes the three overwrites one
+    # atomic unit for reconcile_versions
+    ckpt.mark_processed(
+        cat, "C_compact", run_id,
+        cat.spark.createDataFrame([("__all__",)], "conv_id string"),
+    )
+    ckpt.write_metrics(cat, "C_compact", run_id, {
+        "n_candidate_pairs": cat.read("node_pairs").count(),
+        "wall_s": time.time() - t0,
+    })
+    caching.release_caches()
 
 
 def stage_d_materialize(cat: Catalog, cfg: PipelineConfig):

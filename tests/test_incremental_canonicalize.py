@@ -92,3 +92,44 @@ def test_stage_c_crash_rolls_back(spark, corpus, warehouse):
     rolled = ckpt.reconcile_versions(cat, ["candidate_nodes"])
     assert rolled["candidate_nodes"] == 1
     assert _canon_state(cat) == (good_nodes, good_comps)
+
+
+def _pair_scores(cat):
+    return sorted(
+        (r["a_id"], r["b_id"], round(r["similarity"], 6))
+        for r in cat.read("node_pairs").collect()
+    )
+
+
+def test_compaction_reconverges_to_from_scratch(spark, corpus, warehouse, tmp_path):
+    """VERDICT r2 next-step #8: incremental runs freeze persisted pair
+    scores at their write-time IDF (and never drop stale pairs);
+    stage_c_compact's full re-score must land the warehouse on exactly
+    the from-scratch node_pairs/components state."""
+    from aisafetyintervention_literatureextraction_spark.plans.pipeline import (
+        stage_c_compact,
+    )
+
+    df, _ = corpus
+    cfg = PipelineConfig(warehouse=warehouse)
+    convs = sorted(r["conv_id"] for r in df.select("conv_id").distinct().collect())
+    half = set(convs[: len(convs) // 2])
+
+    # incremental warehouse: half corpus, then the rest as a delta
+    cat = _run_abc(spark, warehouse, df.filter(F.col("conv_id").isin(half)), cfg)
+    stage_a_reassemble(cat, df, cfg)
+    stage_b_extract(cat, cfg)
+    stage_c_canonicalize(cat, cfg)
+
+    # from-scratch reference on the full corpus
+    wh2 = str(tmp_path / "wh_scratch")
+    cat2 = _run_abc(spark, wh2, df, PipelineConfig(warehouse=wh2))
+
+    stage_c_compact(cat, cfg)
+    assert _pair_scores(cat) == _pair_scores(cat2)
+    assert _canon_state(cat) == _canon_state(cat2)
+
+    # compaction is idempotent
+    before = _pair_scores(cat)
+    stage_c_compact(cat, cfg)
+    assert _pair_scores(cat) == before

@@ -51,11 +51,11 @@ def test_q1_partial_aggregation(spark):
 
 
 def test_embedding_exact_pairs_distributed(spark):
-    """The exact near-dup scan is block-pair cogroup GEMM (VERDICT r2
-    'What's wrong #2' fix): no cartesian/BNLJ over rows, no broadcast
-    of the corpus side (the only BroadcastExchange allowed is the
-    B(B+1)/2-row block-pair fanout table), and no driver collect —
-    the heavy math lives in FlatMapCoGroupsInPandas tasks."""
+    """The exact near-dup scan is block-pair grouped GEMM (VERDICT r2
+    'What's wrong #2' fix): ONE corpus scan exploded to (block-pair,
+    role) rows, one shuffle, no cartesian/BNLJ, no broadcast of the
+    corpus, no driver collect — the heavy math lives in
+    FlatMapGroupsInPandas tasks."""
     import inspect
 
     from aisafetyintervention_literatureextraction_spark.operators import similarity
@@ -63,7 +63,12 @@ def test_embedding_exact_pairs_distributed(spark):
     p = _plan(spark, "dedup_embedding_cosine")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
-    assert "FlatMapCoGroupsInPandas" in p
+    assert "FlatMapGroupsInPandas" in p
+    # single corpus scan, single exchange (count tree nodes, not the
+    # details section that repeats each node name)
+    tree = p.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert tree.count("Exchange") == 1
     # corpus side reaches the cogroup via hash/shuffle, never broadcast:
     # every BroadcastExchange subtree must be the tiny LocalTableScan
     # fanout, not a file scan of embeddings

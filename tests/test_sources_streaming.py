@@ -102,3 +102,53 @@ def test_stream_reassembly_available_now(spark, corpus, warehouse):
     # re-trigger with no new data → no duplicates (offset checkpoint)
     stream_reassemble_available_now(spark, src, sink, ckpt)
     assert spark.read.parquet(sink).count() == got.count()
+
+
+def test_exactly_once_catalog_sink(spark, catalog):
+    """§2.11 exactly-once sink: a replayed micro-batch (same batch_id)
+    is skipped; a TORN batch (data appended, commit point lost) heals
+    on retry instead of duplicating rows."""
+    from aisafetyintervention_literatureextraction_spark import checkpoint as ckpt
+    from aisafetyintervention_literatureextraction_spark.streaming.catalog_sink import (
+        exactly_once_append,
+    )
+
+    mk = lambda rows: spark.createDataFrame(rows, "conv_id string, v int")
+
+    assert exactly_once_append(catalog, "docs", mk([("a", 1)]), 0, "s") == "appended"
+    # straight replay of the same batch: skipped, no duplicates
+    assert exactly_once_append(catalog, "docs", mk([("a", 1)]), 0, "s") == "skipped"
+    assert catalog.read("docs").count() == 1
+
+    # torn batch: simulate by appending batch 1's data WITHOUT its
+    # commit point, then retrying through the sink
+    catalog.append(mk([("b", 2)]), "docs", run_id="s-b1")
+    assert catalog.read("docs").count() == 2
+    assert exactly_once_append(catalog, "docs", mk([("b", 2)]), 1, "s") == "appended"
+    got = sorted((r["conv_id"], r["v"]) for r in catalog.read("docs").collect())
+    assert got == [("a", 1), ("b", 2)]
+    assert "s-b0" in ckpt.committed_run_ids(catalog)
+
+
+def test_stream_reassemble_to_catalog_idempotent(spark, corpus, catalog, tmp_path):
+    """AvailableNow drain into the catalog: a second run over the same
+    source (fresh streaming checkpoint — worst case: ALL offsets
+    replay) leaves the documents table unchanged."""
+    from aisafetyintervention_literatureextraction_spark.streaming.catalog_sink import (
+        stream_reassemble_to_catalog,
+    )
+
+    df, _ = corpus
+    src = str(tmp_path / "src")
+    df.write.mode("overwrite").parquet(src)
+
+    stream_reassemble_to_catalog(
+        spark, src, catalog, checkpoint_path=str(tmp_path / "ck1")
+    )
+    n1 = catalog.read("documents").count()
+    assert n1 > 0
+    # replay EVERYTHING (new checkpoint dir → batch ids restart at 0)
+    stream_reassemble_to_catalog(
+        spark, src, catalog, checkpoint_path=str(tmp_path / "ck2")
+    )
+    assert catalog.read("documents").count() == n1
