@@ -42,6 +42,7 @@ from aisafetyintervention_literatureextraction_spark.operators.reassembly import
 from aisafetyintervention_literatureextraction_spark.operators.similarity import (
     cosine,
     cosine_pairs_exact,
+    ivf_topk,
     lsh_topk,
 )
 from aisafetyintervention_literatureextraction_spark.sources.raw_files import (
@@ -50,6 +51,7 @@ from aisafetyintervention_literatureextraction_spark.sources.raw_files import (
 from aisafetyintervention_literatureextraction_spark.operators.textstats import (
     language_id,
     quality_features,
+    winnow_fingerprints,
 )
 
 # --------------------------------------------------------------------------
@@ -577,6 +579,40 @@ def q_sim_lsh_topk(spark, sf_dir):
     return out.select("query_id", "rank", "vec_id")
 
 
+def q_text_winnow_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprinting (winnowing, k=8/w=4):
+    base-31 polynomial k-gram hashes are exact int64 arithmetic, so
+    DuckDB replays the identical algorithm bit-for-bit — compared via
+    per-doc fingerprint count and extremal fingerprint values."""
+    d = _t(spark, sf_dir, "documents")
+    out = winnow_fingerprints(d, text_col="text", k=8, w=4)
+    return out.select(
+        "doc_id",
+        F.size("fingerprints").alias("n_fp"),
+        F.element_at("fingerprints", 1).alias("fp_min"),
+        F.element_at("fingerprints", -1).alias("fp_max"),
+    )
+
+
+def q_sim_ivf_topk(spark, sf_dir):
+    """IVF ANN top-5 at n_probe == n_cells — exhaustive probing is
+    exactly brute force, so the DuckDB oracle is the exact ranking
+    while the query still exercises the full IVF machinery (KMeans
+    codebook training, cell assignment, probe join, exact re-rank).
+    The approximate regime (n_probe < n_cells) is recall-tested in
+    tests/test_similarity.py. Scores quantized for cross-engine rank
+    stability."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(
+        e, q, k=5, n_cells=8, n_probe=8,
+        score_expr=lambda a, b: F.round(cosine(a, b), 3),
+    )
+    return out.select("query_id", "rank", "vec_id")
+
+
 def q_kg_pipeline_triples(spark, sf_dir):
     """Flagship: W3 reassembly → mention detection → co-occurrence
     triples over events-derived transcripts (full Stage A+B shape on
@@ -700,6 +736,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "sim_lsh_topk": q_sim_lsh_topk,
+        "sim_ivf_topk": q_sim_ivf_topk,
+        "text_winnow_fingerprint": q_text_winnow_fingerprint,
         "kg_pipeline_triples": q_kg_pipeline_triples,
         "kg_mention_spans": q_kg_mention_spans,
         "s1_raw_files": q_s1_raw_files,
@@ -999,6 +1037,48 @@ def oracle_sql() -> dict[str, str]:
             WHERE j >= 0.9
         """,
         "sim_lsh_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 4),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     ROUND(list_cosine_similarity(q.qv, e.embedding), 3) AS sim3
+              FROM q CROSS JOIN embeddings e),
+            ranked AS (
+              SELECT query_id, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY sim3 DESC, vec_id) AS rank
+              FROM scored)
+            SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id
+            FROM ranked WHERE rank <= 5
+        """,
+        "text_winnow_fingerprint": """
+            WITH d AS (SELECT doc_id, lower(coalesce(text, '')) AS t
+                       FROM documents),
+            h AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) - 8 + 1 >= 1 THEN
+                       list_transform(generate_series(1, len(t) - 8 + 1),
+                         i -> CAST(list_sum(list_transform(generate_series(0, 7),
+                                j -> ascii(substr(t, i + j, 1))
+                                     * CAST(pow(31, 7 - j) AS BIGINT))) AS BIGINT))
+                     ELSE CAST([] AS BIGINT[]) END AS hs
+              FROM d),
+            wn AS (
+              SELECT doc_id,
+                     CASE WHEN len(hs) - 4 + 1 >= 1 THEN
+                       list_transform(generate_series(1, len(hs) - 4 + 1),
+                         i -> list_min(hs[i : i + 3]))
+                     WHEN len(hs) >= 1 THEN [list_min(hs)]
+                     ELSE CAST([] AS BIGINT[]) END AS wm
+              FROM h),
+            f AS (SELECT doc_id, list_sort(list_distinct(wm)) AS fps FROM wn)
+            SELECT doc_id,
+                   CAST(len(fps) AS INTEGER) AS n_fp,
+                   fps[1] AS fp_min,
+                   fps[-1] AS fp_max
+            FROM f
+        """,
+        "sim_ivf_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                        FROM embeddings WHERE vec_id < 4),
             scored AS (

@@ -115,3 +115,58 @@ def fingerprint(docs: DataFrame, text_col: str = "text", shingle_k: int = 4) -> 
     return docs.withColumn(
         "fingerprint", simhash64_text(F.col(text_col), shingle_k)
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame, text_col: str = "text", k: int = 8, w: int = 4
+) -> DataFrame:
+    """Winnowing fingerprints over a polynomial rolling hash
+    (Schleimer/Wilkerson/Aiken, the MOSS local fingerprinting
+    algorithm): hash every k-gram of the lowercased text with a
+    base-31 polynomial, slide a w-window over the hash sequence
+    keeping each window's minimum, and emit the distinct minima
+    (sorted) as the document's ``fingerprints`` set. Guarantee: two
+    documents sharing any substring of length ≥ k+w-1 share at least
+    one fingerprint — the local-dedup/plagiarism primitive.
+
+    Pure column expressions (sequence/transform/aggregate/slice HOFs —
+    WholeStageCodegen, zero Python), so it runs over every document of
+    a 100 TB corpus without leaving the JVM. The hash is exact int64
+    arithmetic (max Horner value 127·(31^k−1)/30 < 2^63 for k ≤ 10),
+    so DuckDB reproduces it bit-for-bit — oracle-checkable
+    (``text_winnow_fingerprint``). Each gram re-derives its hash in
+    O(k) via Horner instead of O(1) from the previous hash — output-
+    identical to the textbook rolling update, and expression-friendly
+    (carrying rolling state through a HOF would serialize the doc's
+    grams; k is a small constant).
+    """
+    if not (1 <= k <= 10) or w < 1:
+        raise ValueError("need 1 <= k <= 10 (int64-exact range) and w >= 1")
+    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    n_grams = F.length(t) - k + 1
+    gram = lambda i: F.aggregate(  # noqa: E731
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc * 31 + F.ascii(F.substr(t, i + j, F.lit(1))),
+    )
+    hashes = F.when(
+        n_grams >= 1, F.transform(F.sequence(F.lit(1), n_grams), gram)
+    ).otherwise(F.array().cast("array<bigint>"))
+    out = docs.withColumn("_wf_hashes", hashes)
+    hs = F.col("_wf_hashes")
+    n_windows = F.size(hs) - w + 1
+    winnowed = (
+        F.when(
+            n_windows >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_windows),
+                lambda i: F.array_min(F.slice(hs, i, w)),
+            ),
+        )
+        # shorter than one window but has grams: the whole doc is the window
+        .when(F.size(hs) >= 1, F.array(F.array_min(hs)))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+    return out.withColumn(
+        "fingerprints", F.array_sort(F.array_distinct(winnowed))
+    ).drop("_wf_hashes")

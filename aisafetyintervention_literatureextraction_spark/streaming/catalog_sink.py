@@ -81,3 +81,119 @@ def stream_reassemble_to_catalog(
         .start()
     )
     q.awaitTermination()
+
+
+# every table streaming stages A+B append to (heal set for torn batches)
+_AB_APPEND_TABLES = [
+    "documents", "quarantine", "raw_inputs", "triples_raw",
+    "nodes_raw", "quarantine_triples", "quarantine_nodes",
+]
+
+
+def stream_pipeline_to_catalog(
+    spark: SparkSession,
+    source_path: str,
+    catalog,
+    checkpoint_path: str | None = None,
+    stream_id: str = "ab",
+    extract_engine: str = "arrow",
+    salt_segment: int = 4096,
+) -> None:
+    """Streaming stages A+B: reassembly → extraction → validation
+    routing → catalog, one ATOMIC exactly-once commit per micro-batch.
+
+    The streaming twin of the batch pipeline's
+    ``stage_a_reassemble`` + ``stage_b_extract``
+    (plans/pipeline.py:64-140): each micro-batch lands documents,
+    the raw-input audit copy (K2), validated triples/nodes, quarantine
+    routing (F9), and the incremental ``edges_agg`` semigroup merge —
+    all under ONE deterministic run_id, with ONE state-table append as
+    the commit point covering both stages. Crash anywhere before that
+    commit point and the replayed batch heals: orphaned appends are
+    pruned (``prune_orphan_runs``) and the orphaned ``edges_agg``
+    merge VERSION is rolled back (``reconcile_versions``) before
+    re-processing — so double-counting is impossible even for the
+    merge table.
+
+    Because the commit point also writes the batch stages' processed
+    sets (``A_reassemble`` / ``B_extract``), the BATCH pipeline can
+    take over the same warehouse at any time: its resume anti-joins
+    skip every conversation the stream already landed, and stages C/D
+    run as the periodic catch-up. Conversations must not straddle
+    micro-batches (same file-grained contract as
+    ``stream_reassemble_to_catalog``); feeds that split conversations
+    across arrivals belong to the stateful assembler
+    (streaming/stateful.py), which owns cross-batch state.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions import caching
+    from ..operators.extraction import extract_nodes, extract_triples
+    from ..operators.materialize import aggregate_raw_edges, edge_agg_combiner
+    from ..sources.extraction_json import validate_nodes, validate_triples
+
+    src = spark.readStream.schema(TRANSCRIPTS).parquet(source_path)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        run_id = f"{stream_id}-b{batch_id}"
+        committed = ckpt.committed_run_ids(catalog)
+        if run_id in committed:
+            return  # replayed, fully-committed batch: exactly-once skip
+        # heal a torn prior attempt of this batch before re-appending
+        for t in _AB_APPEND_TABLES:
+            catalog.prune_orphan_runs(t, committed)
+        ckpt.reconcile_versions(catalog, ["edges_agg"])
+
+        res = reassemble(batch_df, salt_segment=salt_segment)
+        docs = caching.track(res.documents)
+        quar = caching.track(res.quarantine)
+        catalog.append(docs, "documents", run_id=run_id)
+        if catalog.exists("quarantine") or quar.limit(1).count() > 0:
+            catalog.append(quar, "quarantine", run_id=run_id)
+        catalog.append(  # K2 raw-input audit, replay contract as batch
+            docs.select(
+                F.lit(run_id).alias("run_id"), "conv_id", "n_turns", "doc_text"
+            ),
+            "raw_inputs", run_id=run_id,
+        )
+        triples = caching.track(extract_triples(docs, engine=extract_engine))
+        nodes = caching.track(extract_nodes(docs, engine=extract_engine))
+        t_ok, t_bad = validate_triples(triples)
+        n_ok, n_bad = validate_nodes(nodes)
+        t_ok = caching.track(t_ok)  # consumed by append + edges_agg merge
+        catalog.append(t_ok, "triples_raw", run_id=run_id)
+        catalog.append(n_ok, "nodes_raw", run_id=run_id)
+        catalog.append(t_bad, "quarantine_triples", run_id=run_id)
+        catalog.append(n_bad, "quarantine_nodes", run_id=run_id)
+        catalog.merge_combine(
+            aggregate_raw_edges(t_ok), "edges_agg",
+            keys=["subj", "pred", "obj"], combiner=edge_agg_combiner,
+            run_id=run_id,
+        )
+        # COMMIT POINT: one atomic state append carrying BOTH stages'
+        # processed sets (mark_processed twice would commit the run_id
+        # after the first append, breaking the all-or-nothing window)
+        processed_a = docs.select("conv_id").union(
+            quar.select("conv_id")
+        ).distinct()
+        state_rows = processed_a.select(
+            F.lit("A_reassemble").alias("stage"),
+            F.col("conv_id").cast("string").alias("conv_id"),
+            F.lit(run_id).alias("run_id"),
+        ).union(
+            docs.select(
+                F.lit("B_extract").alias("stage"),
+                F.col("conv_id").cast("string").alias("conv_id"),
+                F.lit(run_id).alias("run_id"),
+            )
+        )
+        catalog.append(state_rows, ckpt.STATE)
+        caching.release_caches()
+
+    q = (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -152,3 +152,85 @@ def test_stream_reassemble_to_catalog_idempotent(spark, corpus, catalog, tmp_pat
         spark, src, catalog, checkpoint_path=str(tmp_path / "ck2")
     )
     assert catalog.read("documents").count() == n1
+
+
+def test_stream_pipeline_ab_exactly_once(spark, corpus, tmp_path):
+    """Streaming stages A+B (reassembly → extraction → validation →
+    edges_agg merge) produce byte-identical warehouse tables to the
+    batch pipeline, a full offset replay changes nothing, and the
+    BATCH pipeline can take over the stream's warehouse: its resume
+    anti-joins see the streamed conversations as processed and heal
+    any torn stream batch (orphan appends pruned, orphan edges_agg
+    version rolled back)."""
+    from aisafetyintervention_literatureextraction_spark.catalog import Catalog
+    from aisafetyintervention_literatureextraction_spark.plans.pipeline import (
+        PipelineConfig,
+        stage_a_reassemble,
+        stage_b_extract,
+    )
+    from aisafetyintervention_literatureextraction_spark.streaming.catalog_sink import (
+        stream_pipeline_to_catalog,
+    )
+
+    df, _ = corpus
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+
+    cat_s = Catalog(spark, str(tmp_path / "wh_stream"))
+    cat_b = Catalog(spark, str(tmp_path / "wh_batch"))
+
+    stream_pipeline_to_catalog(
+        spark, src, cat_s, checkpoint_path=str(tmp_path / "ck1")
+    )
+
+    cfg_b = PipelineConfig(warehouse=str(tmp_path / "wh_batch"))
+    stage_a_reassemble(cat_b, spark.read.parquet(src), cfg_b)
+    stage_b_extract(cat_b, cfg_b)
+
+    def rows(cat, table, drop=()):
+        dfr = cat.read(table).drop(*drop)
+        cols = sorted(dfr.columns)
+        # key=repr: tolerate None and array-valued columns in the sort
+        return sorted(
+            (tuple(r[c] for c in cols) for r in dfr.collect()), key=repr
+        )
+
+    for t in ["documents", "triples_raw", "nodes_raw", "edges_agg"]:
+        assert rows(cat_s, t) == rows(cat_b, t), t
+    n_docs = cat_s.read("documents").count()
+    n_triples = cat_s.read("triples_raw").count()
+    assert n_triples > 0
+
+    # full replay (fresh streaming checkpoint → ALL offsets re-fire):
+    # every batch's run_id is committed, so everything is skipped
+    stream_pipeline_to_catalog(
+        spark, src, cat_s, checkpoint_path=str(tmp_path / "ck2")
+    )
+    assert cat_s.read("documents").count() == n_docs
+    assert cat_s.read("triples_raw").count() == n_triples
+    assert rows(cat_s, "edges_agg") == rows(cat_b, "edges_agg")
+
+    # torn stream batch: orphan triples append + orphan edges_agg merge
+    # version whose run_id never reached the state table
+    from aisafetyintervention_literatureextraction_spark.operators.materialize import (
+        aggregate_raw_edges,
+        edge_agg_combiner,
+    )
+
+    orphan = cat_s.read("triples_raw").limit(3)
+    cat_s.append(orphan, "triples_raw", run_id="ab-b999")
+    cat_s.merge_combine(
+        aggregate_raw_edges(orphan), "edges_agg",
+        keys=["subj", "pred", "obj"], combiner=edge_agg_combiner,
+        run_id="ab-b999",
+    )
+    assert cat_s.read("triples_raw").count() == n_triples + 3
+
+    # batch takeover on the stream's warehouse: resume reconcile prunes
+    # the orphans, pending sets are empty (stream marked A/B processed)
+    cfg_s = PipelineConfig(warehouse=str(tmp_path / "wh_stream"))
+    stage_a_reassemble(cat_s, spark.read.parquet(src), cfg_s)
+    stage_b_extract(cat_s, cfg_s)
+    assert cat_s.read("documents").count() == n_docs
+    assert cat_s.read("triples_raw").count() == n_triples
+    assert rows(cat_s, "edges_agg") == rows(cat_b, "edges_agg")

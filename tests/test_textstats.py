@@ -53,3 +53,39 @@ def test_fingerprint_stability(spark):
     fp = {r["doc_id"]: r["fingerprint"] for r in fingerprint(df).collect()}
     assert fp[0] == fp[1]
     assert fp[0] != fp[2]
+
+
+def test_winnow_fingerprints(spark):
+    from aisafetyintervention_literatureextraction_spark.operators.textstats import (
+        winnow_fingerprints,
+    )
+
+    rows = [
+        ("a", "the quick brown fox jumps over the lazy dog"),
+        # shares "the quick brown fox " (20 chars >= k+w-1 = 11) with a
+        ("b", "xx the quick brown fox leaps over a lazy cat"),
+        ("c", "short"),       # len < k: no grams
+        ("d", "abcdefgh"),    # len == k: exactly one gram
+        ("e", None),          # null text: empty, not a crash
+        ("f", "abcdefghij"),  # 3 grams < w: whole-doc window
+        ("g", "zzzzzzzzzzzz"),  # all-identical grams collapse to one fp
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r["fingerprints"] for r in winnow_fingerprints(df).collect()}
+    assert out["c"] == [] and out["e"] == []
+    assert len(out["d"]) == 1 and len(out["f"]) == 1
+    assert len(out["g"]) == 1
+    # winnowing guarantee: shared substring >= k+w-1 chars → shared fp
+    assert set(out["a"]) & set(out["b"])
+    assert out["a"] == sorted(set(out["a"]))  # sorted distinct contract
+    # case-insensitive (lowercased before hashing)
+    up = {
+        r["doc_id"]: r["fingerprints"]
+        for r in winnow_fingerprints(
+            df.withColumn("text", F.upper("text"))
+        ).collect()
+    }
+    assert up["a"] == out["a"]
+    # hot path stays JVM-side: no Python eval in the plan
+    plan = winnow_fingerprints(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
