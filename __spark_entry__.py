@@ -602,12 +602,21 @@ def q_sim_ivf_topk(spark, sf_dir):
     The approximate regime (n_probe < n_cells) is recall-tested in
     tests/test_similarity.py. Scores quantized for cross-engine rank
     stability."""
+    from aisafetyintervention_literatureextraction_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
+    # exhaustive probing makes the result codebook-independent, so the
+    # contract query trains on a small deterministic slice (cell quality
+    # only shapes intermediate partitioning here; full-corpus training
+    # is the recall-tested production path)
+    cb = train_ivf_centroids(e.orderBy("vec_id").limit(512), n_cells=8)
     out = ivf_topk(
-        e, q, k=5, n_cells=8, n_probe=8,
+        e, q, k=5, n_cells=8, n_probe=8, centroids=cb,
         score_expr=lambda a, b: F.round(cosine(a, b), 3),
     )
     return out.select("query_id", "rank", "vec_id")

@@ -334,21 +334,57 @@ def train_ivf_centroids(
     vec_col: str = "embedding",
     seed: int = 7,
     sample_fraction: float | None = None,
+    method: str = "numpy",
+    max_train_rows: int = 65536,
 ):
     """Fit the coarse codebook; returns a unit-normalized numpy matrix
-    (n_cells, dim). Sample the corpus for training at scale — cell
-    QUALITY needs only a representative sample, assignment still covers
-    every row."""
+    (n_cells, dim). Cell QUALITY needs only a representative sample —
+    assignment still covers every row — so the default trains
+    FAISS-style: collect a BOUNDED sample (≤ ``max_train_rows`` rows,
+    ~32 MB at 64-dim float64 — documented driver collect, capped
+    regardless of corpus size) and run seeded Lloyd iterations in
+    numpy. ``method="ml"`` keeps the distributed Spark ML KMeans for
+    when even the training sample must stay distributed; it computes
+    comparable cells at ~25 s of fixed scheduler overhead vs <0.1 s
+    for the numpy path at small k (measured sf0.1)."""
     import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
-    df = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    df = corpus.select(F.col(vec_col).alias("v"))
     if sample_fraction:
         df = df.sample(fraction=sample_fraction, seed=seed)
-    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(df)
-    C = np.stack([np.asarray(c) for c in model.clusterCenters()]).astype(np.float64)
-    return C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    if method == "ml":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feats = df.select(array_to_vector(F.col("v")).alias("features"))
+        model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(feats)
+        C = np.stack(
+            [np.asarray(c) for c in model.clusterCenters()]
+        ).astype(np.float64)
+        return C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    rows = df.limit(max_train_rows).toPandas()["v"]
+    if not len(rows):
+        raise ValueError("cannot train IVF centroids on an empty corpus")
+    X = np.stack(rows.to_numpy()).astype(np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    k = min(n_cells, len(X))
+    C = X[rng.choice(len(X), size=k, replace=False)]
+    for _ in range(20):
+        # unit vectors: cosine argmax == euclidean nearest
+        assign = np.argmax(X @ C.T, axis=1)
+        new_c = np.empty_like(C)
+        for j in range(k):
+            members = X[assign == j]
+            new_c[j] = (
+                members.mean(axis=0) if len(members) else X[rng.integers(len(X))]
+            )
+        new_c /= np.maximum(np.linalg.norm(new_c, axis=1, keepdims=True), 1e-12)
+        done = np.allclose(new_c, C, atol=1e-9)
+        C = new_c
+        if done:
+            break
+    return C
 
 
 def _nearest_cells(vec, centroids, n: int) -> F.Column:

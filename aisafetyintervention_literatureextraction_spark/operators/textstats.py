@@ -143,16 +143,24 @@ def winnow_fingerprints(
     if not (1 <= k <= 10) or w < 1:
         raise ValueError("need 1 <= k <= 10 (int64-exact range) and w >= 1")
     t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
-    n_grams = F.length(t) - k + 1
+    # char codes materialized ONCE per doc: substr(t, i, 1) inside the
+    # gram loop is O(position) on UTF8 strings, turning the whole doc
+    # into O(len²·k) — measured 12.8 s vs ~1 s at sf0.1 for this form
+    codes = F.transform(
+        F.filter(F.split(t, ""), lambda c: F.length(c) > 0), F.ascii
+    )
+    out = docs.withColumn("_wf_codes", codes)
+    cs = F.col("_wf_codes")
+    n_grams = F.size(cs) - k + 1
     gram = lambda i: F.aggregate(  # noqa: E731
-        F.sequence(F.lit(0), F.lit(k - 1)),
+        F.slice(cs, i, k),
         F.lit(0).cast("long"),
-        lambda acc, j: acc * 31 + F.ascii(F.substr(t, i + j, F.lit(1))),
+        lambda acc, c: acc * 31 + c,
     )
     hashes = F.when(
         n_grams >= 1, F.transform(F.sequence(F.lit(1), n_grams), gram)
     ).otherwise(F.array().cast("array<bigint>"))
-    out = docs.withColumn("_wf_hashes", hashes)
+    out = out.withColumn("_wf_hashes", hashes).drop("_wf_codes")
     hs = F.col("_wf_hashes")
     n_windows = F.size(hs) - w + 1
     winnowed = (
