@@ -132,3 +132,35 @@ def test_catalog_model_based(spark, tmp_path_factory, ops):
             assert got == sorted(list(model.items()) + applog)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+_ascii_st = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=40
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    shared=st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=7,  # k + w - 1 at (k=5, w=3): the guarantee threshold
+        max_size=30,
+    ),
+    pads=st.tuples(_ascii_st, _ascii_st, _ascii_st, _ascii_st),
+)
+def test_winnow_shared_substring_guarantee(spark, shared, pads):
+    """Winnowing guarantee (Schleimer et al. §2): any two documents
+    sharing a substring of length >= k+w-1 share >= 1 fingerprint,
+    regardless of what surrounds it."""
+    from aisafetyintervention_literatureextraction_spark.operators.textstats import (
+        winnow_fingerprints,
+    )
+
+    a = pads[0] + shared + pads[1]
+    b = pads[2] + shared + pads[3]
+    df = spark.createDataFrame([("a", a), ("b", b)], "doc_id string, text string")
+    out = {
+        r["doc_id"]: set(r["fingerprints"])
+        for r in winnow_fingerprints(df, k=5, w=3).collect()
+    }
+    assert out["a"] & out["b"]
