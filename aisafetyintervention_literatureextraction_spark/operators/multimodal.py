@@ -276,6 +276,218 @@ def encode_png(arr, filter_type=0) -> bytes:
     return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", raw) + chunk(b"IEND", b"")
 
 
+_GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW → palette-index bytes. Raises on corrupt codes
+    (caller turns that into a None decode)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_code = end + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                code_size = min_code_size + 1
+                table = {i: bytes([i]) for i in range(clear)}
+                next_code = end + 1
+                prev = None
+                continue
+            if code == end:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+            elif code == next_code:  # the KwKwK self-reference case
+                entry = prev + prev[:1]
+                table[next_code] = entry
+                next_code += 1
+            else:
+                raise ValueError("corrupt LZW code")
+            out += entry
+            prev = entry
+            if next_code >= (1 << code_size) and code_size < 12:
+                code_size += 1
+    return bytes(out)
+
+
+def decode_gif(payload: bytes):
+    """Pure-python GIF87a/89a decoder → list of uint8 RGB frames
+    (h, w, 3) composited onto the logical screen, or None. Supports
+    global/local color tables, interlacing, per-frame transparency,
+    and disposal modes 0/1 (draw over) and 2 (restore background).
+    Animated GIFs make this a second REAL multi-frame container for
+    :func:`sample_frames` beside RIFF/AVI."""
+    import numpy as np
+
+    if not payload or payload[:6] not in _GIF_SIGS or len(payload) < 13:
+        return None
+    try:
+        u16 = lambda o: int.from_bytes(payload[o:o + 2], "little")  # noqa: E731
+        width, height = u16(6), u16(8)
+        flags, bg_idx = payload[10], payload[11]
+        pos = 13
+        gct = None
+        if flags & 0x80:
+            n = 2 ** ((flags & 7) + 1)
+            gct = np.frombuffer(
+                payload[pos:pos + 3 * n], dtype=np.uint8
+            ).reshape(n, 3).copy()
+            pos += 3 * n
+        bg_rgb = (
+            gct[bg_idx] if gct is not None and bg_idx < len(gct)
+            else np.zeros(3, np.uint8)
+        )
+        canvas = np.broadcast_to(bg_rgb, (height, width, 3)).copy()
+        frames: list = []
+        transparent: int | None = None
+        disposal = 0
+        while pos < len(payload):
+            b0 = payload[pos]
+            if b0 == 0x3B:  # trailer
+                break
+            if b0 == 0x21:  # extension: label + sub-blocks
+                label = payload[pos + 1]
+                pos += 2
+                first = True
+                while True:
+                    sz = payload[pos]
+                    pos += 1
+                    if sz == 0:
+                        break
+                    blk = payload[pos:pos + sz]
+                    if label == 0xF9 and first:  # graphic control
+                        disposal = (blk[0] >> 2) & 7
+                        transparent = blk[3] if blk[0] & 1 else None
+                    first = False
+                    pos += sz
+            elif b0 == 0x2C:  # image descriptor
+                left, top = u16(pos + 1), u16(pos + 3)
+                w, h = u16(pos + 5), u16(pos + 7)
+                ifl = payload[pos + 9]
+                pos += 10
+                table = gct
+                if ifl & 0x80:  # local color table
+                    n = 2 ** ((ifl & 7) + 1)
+                    table = np.frombuffer(
+                        payload[pos:pos + 3 * n], dtype=np.uint8
+                    ).reshape(n, 3).copy()
+                    pos += 3 * n
+                if table is None:
+                    return None
+                mcs = payload[pos]
+                pos += 1
+                data = bytearray()
+                while True:
+                    sz = payload[pos]
+                    pos += 1
+                    if sz == 0:
+                        break
+                    data += payload[pos:pos + sz]
+                    pos += sz
+                idx = np.frombuffer(
+                    _gif_lzw_decode(bytes(data), mcs), dtype=np.uint8
+                )
+                if len(idx) < w * h:
+                    return None
+                idx = idx[: w * h].reshape(h, w)
+                if ifl & 0x40:  # interlaced: 4-pass row schedule
+                    order = np.concatenate([
+                        np.arange(0, h, 8), np.arange(4, h, 8),
+                        np.arange(2, h, 4), np.arange(1, h, 2),
+                    ])
+                    deint = np.empty_like(idx)
+                    deint[order] = idx
+                    idx = deint
+                rect = table[np.minimum(idx, len(table) - 1)]
+                region = canvas[top:top + h, left:left + w]
+                if transparent is not None:
+                    mask = idx != transparent
+                    region[mask] = rect[mask]
+                else:
+                    region[:] = rect
+                frames.append(canvas.copy())
+                if disposal == 2:  # restore background in frame rect
+                    canvas[top:top + h, left:left + w] = bg_rgb
+                transparent = None
+                disposal = 0
+            else:
+                return None
+        return frames or None
+    except Exception:
+        return None
+
+
+def encode_gif(frames) -> bytes:
+    """Encode uint8 RGB frames (≤256 distinct colors across ALL
+    frames) as a GIF89a. The LZW stream interleaves a CLEAR code per
+    pixel — legal, keeps code width fixed, and needs no compression
+    state; test-fixture writer, not a production encoder."""
+    import numpy as np
+
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w = frames[0].shape[:2]
+    palette = np.unique(
+        np.concatenate([f.reshape(-1, 3) for f in frames]), axis=0
+    )
+    if len(palette) > 256:
+        raise ValueError("encode_gif: >256 distinct colors")
+    n_bits = max(1, (len(palette) - 1).bit_length())
+    tbl_n = 1 << n_bits
+    mcs = max(n_bits, 2)  # GIF LZW minimum code size floor
+    lut = {tuple(c): i for i, c in enumerate(palette.tolist())}
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (n_bits - 1), 0, 0])  # GCT flag+size, bg, aspect
+    out += palette.tobytes() + b"\x00" * ((tbl_n - len(palette)) * 3)
+    clear, end_code = 1 << mcs, (1 << mcs) + 1
+    code_size = mcs + 1
+    for f in frames:
+        if f.shape[:2] != (h, w):
+            raise ValueError("encode_gif: frames must share one size")
+        out += b"\x2c" + b"\x00" * 4
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+        out += bytes([mcs])
+        bits = bytearray()
+        acc = nbits = 0
+
+        def emit(code: int):
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += code_size
+            while nbits >= 8:
+                bits.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        emit(clear)
+        for px in f.reshape(-1, 3):
+            emit(lut[tuple(px)])
+            emit(clear)  # reset per pixel: fixed width, stateless
+        emit(end_code)
+        if nbits:
+            bits.append(acc & 0xFF)
+        for i in range(0, len(bits), 255):
+            blk = bits[i:i + 255]
+            out += bytes([len(blk)]) + blk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
 def demux_avi(payload: bytes):
     """Minimal RIFF/AVI demuxer (pure stdlib): walk LIST trees and
     return the 'movi' video stream chunks (``..dc``/``..db``) as
@@ -439,6 +651,9 @@ def decode_image(payload: bytes, mime: str | None = None):
     img = decode_png(payload)
     if img is not None:
         return img, "png"
+    gif = decode_gif(payload)
+    if gif is not None:
+        return gif[0], "gif"
     if _HAS_CODECS:  # pragma: no cover — PIL absent in this container
         import io
 
@@ -589,7 +804,8 @@ def resize_images(media: DataFrame, max_side: int = 512) -> DataFrame:
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """video → frame rows. Real paths: RIFF/AVI containers demux their
     actual stream chunks (demux_avi — works for MJPEG/PNG/DIB-coded
-    AVIs); a concatenated-P6 stream (mime video/x-ppm-stream) splits on
+    AVIs); animated GIFs decode to composited RGB frames (re-encoded
+    P6); a concatenated-P6 stream (mime video/x-ppm-stream) splits on
     the P6 magic. Containers needing a full demuxer stack (MP4/MKV)
     emit deterministic payload slices until ffmpeg is wired in."""
 
@@ -612,6 +828,19 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                         rows["media_id"].append(mid)
                         rows["frame_idx"].append(i)
                         rows["frame_payload"].append(f)
+                elif payload[:6] in _GIF_SIGS and (
+                    gif_frames := decode_gif(payload)
+                ):
+                    # animated GIF: decoded RGB frames re-encoded as P6
+                    # (downstream decode_images handles them natively)
+                    step = max(
+                        len(gif_frames) * every_ms // max(int(dur or 0), every_ms),
+                        1,
+                    )
+                    for i, f in enumerate(gif_frames[::step]):
+                        rows["media_id"].append(mid)
+                        rows["frame_idx"].append(i)
+                        rows["frame_payload"].append(encode_ppm(f))
                 elif mime == "video/x-ppm-stream":
                     parts = payload.split(b"P6\n")
                     frames = [b"P6\n" + p for p in parts[1:]]
