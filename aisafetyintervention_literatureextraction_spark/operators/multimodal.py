@@ -654,6 +654,12 @@ def decode_image(payload: bytes, mime: str | None = None):
     gif = decode_gif(payload)
     if gif is not None:
         return gif[0], "gif"
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        img = decode_jpeg(payload)
+        if img is not None:
+            return img, "jpeg"
     if _HAS_CODECS:  # pragma: no cover — PIL absent in this container
         import io
 

@@ -347,3 +347,102 @@ def test_gif_image_dispatch_and_frame_sampling(spark):
     # sanity: the container itself decodes to the same frames
     for got, want in zip(decode_gif(gif), imgs):
         np.testing.assert_array_equal(got, want)
+
+
+def test_jpeg_dct_orthonormal():
+    """The shared DCT matrix is orthonormal — the transform pair can't
+    be wrong-but-mutually-inverse in a way that breaks energy."""
+    import numpy as np
+
+    from aisafetyintervention_literatureextraction_spark.operators.jpeg import _D
+
+    np.testing.assert_allclose(_D @ _D.T, np.eye(8), atol=1e-12)
+    # DC basis: IDCT of a pure-DC block is constant
+    blk = np.zeros((8, 8))
+    blk[0, 0] = 8.0
+    sp = _D.T @ blk @ _D
+    np.testing.assert_allclose(sp, np.full((8, 8), 1.0), atol=1e-12)
+
+
+def _smooth_img(h, w, seed=3):
+    """Low-frequency content: what JPEG is designed for (bounded loss)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    chans = []
+    for _ in range(3):
+        a, b, c = rng.uniform(0.02, 0.2, 3)
+        chans.append(
+            128 + 100 * np.sin(a * xx + c) * np.cos(b * yy)
+        )
+    return np.clip(np.stack(chans, axis=2).round(), 0, 255).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_quality100_near_lossless():
+    """quality=100 collapses the quant tables to 1s: encode→decode must
+    round-trip within float-DCT rounding (±2) — pins FDCT/IDCT AND the
+    Huffman coder from both sides (entropy coding is exact, so any
+    mismatch there corrupts loudly, not by ±1)."""
+    import numpy as np
+
+    from aisafetyintervention_literatureextraction_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = _smooth_img(24, 17)  # non-multiple-of-8 dims: edge padding
+    got = decode_jpeg(encode_jpeg(img, quality=100))
+    assert got.shape == img.shape
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_jpeg_roundtrip_q90_and_420_and_restarts():
+    """Lossy-regime round-trips stay close on smooth content across
+    4:4:4, 4:2:0, and the DRI/RSTn restart path."""
+    import numpy as np
+
+    from aisafetyintervention_literatureextraction_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = _smooth_img(40, 33, seed=9)
+    for kwargs in (
+        {"quality": 90},
+        {"quality": 90, "subsampling": "420"},
+        {"quality": 90, "restart_interval": 2},
+        {"quality": 85, "subsampling": "420", "restart_interval": 3},
+    ):
+        got = decode_jpeg(encode_jpeg(img, **kwargs))
+        assert got.shape == img.shape, kwargs
+        err = np.abs(got.astype(int) - img.astype(int)).mean()
+        assert err < 6.0, (kwargs, err)
+
+
+def test_jpeg_rejects_garbage_and_dispatch(spark):
+    import numpy as np
+
+    from aisafetyintervention_literatureextraction_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from aisafetyintervention_literatureextraction_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image,
+        decode_images,
+    )
+
+    assert decode_jpeg(b"\xff\xd8\xff\xd9") is None        # empty body
+    assert decode_jpeg(b"not a jpeg") is None
+    img = _smooth_img(16, 16, seed=4)
+    jpg = encode_jpeg(img, quality=95)
+    got, codec = decode_image(jpg)
+    assert codec == "jpeg" and got.shape == img.shape
+
+    rows = [{"media_id": 21, "kind": "image", "mime": "image/jpeg",
+             "payload": bytearray(jpg), "width": 16, "height": 16,
+             "duration_ms": None}]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = decode_images(media).collect()
+    assert len(out) == 1 and out[0]["decoder"] == "jpeg"
