@@ -518,6 +518,177 @@ def demux_avi(payload: bytes):
     return frames
 
 
+def _mp4_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, body_start, box_end) over an ISO-BMFF box range."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(buf[pos:pos + 4], "big")
+        typ = buf[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize
+            size = int.from_bytes(buf[pos + 8:pos + 16], "big")
+            body = pos + 16
+        elif size == 0:  # to end of enclosing box
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError("bad box size")
+        yield typ, body, pos + size
+        pos += size
+
+
+def demux_mp4(payload: bytes):
+    """Minimal ISO-BMFF/MP4 demuxer (pure stdlib): walk moov→trak→stbl,
+    pick the first video track (hdlr 'vide'), and reassemble its sample
+    payloads from the stsz/stsc/stco(co64) tables. Returns the encoded
+    sample bytes — with a 'jpeg'-coded track our own decoder handles
+    the frames end-to-end; H.264/H.265 samples still demux but need an
+    external codec to decode (same contract as demux_avi)."""
+    if not payload or len(payload) < 16:
+        return None
+    try:
+        tops = list(_mp4_boxes(payload, 0, len(payload)))
+    except ValueError:
+        return None
+    if not tops or tops[0][0] != b"ftyp":
+        return None
+    be32 = lambda o: int.from_bytes(payload[o:o + 4], "big")  # noqa: E731
+    containers = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+    tracks: list[dict] = []
+
+    def walk(start: int, end: int, ctx: dict | None) -> None:
+        for typ, body, nxt in _mp4_boxes(payload, start, end):
+            if typ == b"trak":
+                t: dict = {}
+                tracks.append(t)
+                walk(body, nxt, t)
+            elif typ in containers:
+                walk(body, nxt, ctx)
+            elif ctx is None:
+                continue
+            elif typ == b"hdlr":
+                ctx["handler"] = payload[body + 8:body + 12]
+            elif typ == b"stsz":
+                fixed, n = be32(body + 4), be32(body + 8)
+                ctx["sizes"] = (
+                    [fixed] * n if fixed
+                    else [be32(body + 12 + 4 * i) for i in range(n)]
+                )
+            elif typ == b"stco":
+                n = be32(body + 4)
+                ctx["offsets"] = [be32(body + 8 + 4 * i) for i in range(n)]
+            elif typ == b"co64":
+                n = be32(body + 4)
+                ctx["offsets"] = [
+                    int.from_bytes(payload[body + 8 + 8 * i:body + 16 + 8 * i], "big")
+                    for i in range(n)
+                ]
+            elif typ == b"stsc":
+                n = be32(body + 4)
+                ctx["runs"] = [
+                    (be32(body + 8 + 12 * i), be32(body + 12 + 12 * i))
+                    for i in range(n)  # (first_chunk, samples_per_chunk)
+                ]
+
+    try:
+        for typ, body, nxt in tops:
+            if typ == b"moov":
+                walk(body, nxt, None)
+        for t in tracks:
+            if t.get("handler") != b"vide":
+                continue
+            sizes, offsets = t.get("sizes"), t.get("offsets")
+            runs = t.get("runs") or [(1, 1)]
+            if not sizes or not offsets:
+                continue
+            samples: list[bytes] = []
+            si = 0
+            for ci, off in enumerate(offsets, start=1):
+                spc = next(
+                    (s for fc, s in reversed(runs) if fc <= ci), runs[0][1]
+                )
+                pos = off
+                for _ in range(spc):
+                    if si >= len(sizes):
+                        break
+                    samples.append(bytes(payload[pos:pos + sizes[si]]))
+                    pos += sizes[si]
+                    si += 1
+            return samples or None
+    except Exception:
+        return None
+    return None
+
+
+def mux_mp4(samples: list[bytes], fourcc: bytes = b"jpeg",
+            width: int = 0, height: int = 0) -> bytes:
+    """Fixture MP4 writer: one video track, one sample per chunk,
+    layout ftyp|mdat|moov so chunk offsets are known up front."""
+    import struct
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + typ + body
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2mp41")
+    base = len(ftyp) + 8  # first sample lands right after the mdat header
+    offsets = []
+    off = base
+    for s in samples:
+        offsets.append(off)
+        off += len(s)
+    mdat = box(b"mdat", b"".join(samples))
+    n = len(samples)
+    # 78-byte VisualSampleEntry: reserved/dref-index + dims + defaults
+    vse = (
+        b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000) + b"\x00" * 4
+        + struct.pack(">H", 1) + b"\x00" * 32
+        + struct.pack(">Hh", 24, -1)
+    )
+    stsd = box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + box(fourcc, vse))
+    stts = box(b"stts", b"\x00" * 4 + struct.pack(">III", 1, n, 1))
+    stsc = box(b"stsc", b"\x00" * 4 + struct.pack(">IIII", 1, 1, 1, 1))
+    stsz = box(
+        b"stsz",
+        b"\x00" * 4 + struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", len(s)) for s in samples),
+    )
+    stco = box(
+        b"stco",
+        b"\x00" * 4 + struct.pack(">I", n)
+        + b"".join(struct.pack(">I", o) for o in offsets),
+    )
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    dinf = box(
+        b"dinf",
+        box(b"dref", b"\x00" * 4 + struct.pack(">I", 1)
+            + box(b"url ", b"\x00\x00\x00\x01")),
+    )
+    vmhd = box(b"vmhd", b"\x00\x00\x00\x01" + b"\x00" * 8)
+    minf = box(b"minf", vmhd + dinf + stbl)
+    hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12 + b"\x00")
+    mdhd = box(
+        b"mdhd", b"\x00" * 4 + struct.pack(">IIII", 0, 0, 1000, n * 40)
+        + struct.pack(">HH", 0x55C4, 0),
+    )
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    tkhd = box(
+        b"tkhd", b"\x00\x00\x00\x07" + struct.pack(">III", 0, 0, 1)
+        + b"\x00" * 4 + struct.pack(">I", n * 40) + b"\x00" * 52
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    trak = box(b"trak", tkhd + mdia)
+    mvhd = box(
+        b"mvhd", b"\x00" * 4 + struct.pack(">IIII", 0, 0, 1000, n * 40)
+        + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+        + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
 def decode_wav(payload: bytes):
     """Pure-stdlib RIFF/WAVE PCM decoder: 8/16/32-bit integer and
     32-bit float PCM → (samples float64 (n, channels) in [-1, 1],
@@ -808,12 +979,14 @@ def resize_images(media: DataFrame, max_side: int = 512) -> DataFrame:
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """video → frame rows. Real paths: RIFF/AVI containers demux their
-    actual stream chunks (demux_avi — works for MJPEG/PNG/DIB-coded
-    AVIs); animated GIFs decode to composited RGB frames (re-encoded
-    P6); a concatenated-P6 stream (mime video/x-ppm-stream) splits on
-    the P6 magic. Containers needing a full demuxer stack (MP4/MKV)
-    emit deterministic payload slices until ffmpeg is wired in."""
+    """video → frame rows. Real paths: MP4/ISO-BMFF containers demux
+    their video track's samples (demux_mp4 — 'jpeg'-coded tracks then
+    decode end-to-end with our JPEG decoder); RIFF/AVI containers
+    demux their stream chunks (demux_avi — MJPEG/PNG/DIB-coded AVIs);
+    animated GIFs decode to composited RGB frames (re-encoded P6); a
+    concatenated-P6 stream (mime video/x-ppm-stream) splits on the P6
+    magic. Remaining containers (MKV/WebM) emit deterministic payload
+    slices until ffmpeg is wired in."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -825,6 +998,17 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                 vids["media_id"], vids["payload"], vids["duration_ms"], vids["mime"]
             ):
                 payload = payload or b""
+                mp4_frames = demux_mp4(payload)
+                if mp4_frames:
+                    step = max(
+                        len(mp4_frames) * every_ms // max(int(dur or 0), every_ms),
+                        1,
+                    )
+                    for i, f in enumerate(mp4_frames[::step]):
+                        rows["media_id"].append(mid)
+                        rows["frame_idx"].append(i)
+                        rows["frame_payload"].append(f)
+                    continue
                 avi_frames = demux_avi(payload)
                 if avi_frames is not None:
                     step = max(

@@ -446,3 +446,41 @@ def test_jpeg_rejects_garbage_and_dispatch(spark):
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = decode_images(media).collect()
     assert len(out) == 1 and out[0]["decoder"] == "jpeg"
+
+
+def test_mp4_demux_and_jpeg_frames(spark):
+    """mux_mp4 → demux_mp4 round-trips sample payloads exactly, and a
+    'jpeg'-coded MP4 track runs END-TO-END: demux in sample_frames,
+    then the sampled frames decode with our own JPEG decoder."""
+    import numpy as np
+
+    from aisafetyintervention_literatureextraction_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from aisafetyintervention_literatureextraction_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        demux_mp4,
+        mux_mp4,
+        sample_frames,
+    )
+
+    imgs = [_smooth_img(16, 16, seed=i) for i in range(5)]
+    jpgs = [encode_jpeg(im, quality=95) for im in imgs]
+    mp4 = mux_mp4(jpgs, fourcc=b"jpeg", width=16, height=16)
+    got = demux_mp4(mp4)
+    assert got == jpgs
+    assert demux_mp4(b"\x00\x00\x00\x08free" + b"x" * 64) is None  # no ftyp
+    assert demux_mp4(b"RIFF\x00\x00\x00\x00AVI ") is None
+
+    rows = [{"media_id": 31, "kind": "video", "mime": "video/mp4",
+             "payload": bytearray(mp4), "width": 16, "height": 16,
+             "duration_ms": 5000}]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    frames = sorted(
+        sample_frames(media, every_ms=1000).collect(), key=lambda r: r["frame_idx"]
+    )
+    assert len(frames) == 5
+    for i, fr in enumerate(frames):
+        dec = decode_jpeg(bytes(fr["frame_payload"]))
+        assert np.abs(dec.astype(int) - imgs[i].astype(int)).mean() < 6.0
