@@ -142,13 +142,16 @@ def test_operator_caches_released(spark, neardup_docs):
         release_caches,
     )
 
-    def n_cached():
-        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    def cached_ids():
+        # ids, not counts: Spark's async ContextCleaner may reap OTHER
+        # tests' stale caches between readings — counts are racy
+        return {r.id() for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
 
     release_caches()  # drain anything earlier tests tracked
-    before = n_cached()
+    before = cached_ids()
     minhash_near_duplicates(neardup_docs, threshold=0.8).count()
-    assert n_cached() > before  # the operator did cache fan-out plans
+    new = cached_ids() - before
+    assert len(new) >= 2  # the operator cached its fan-out plans (sig + buckets)
     n = release_caches()
-    assert n >= 2  # sig + bucket rows
-    assert n_cached() == before  # ...and released ALL of them
+    assert n >= 2
+    assert not (cached_ids() & new)  # ...and released ALL of them
