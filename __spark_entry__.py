@@ -594,6 +594,22 @@ def q_text_winnow_fingerprint(spark, sf_dir):
     )
 
 
+def q_dedup_winnow(spark, sf_dir):
+    """MOSS-style passage-copy detection: pairs sharing >= 20 winnowing
+    fingerprints after the hot-bucket cap (<= 64 docs per fingerprint —
+    deterministic, mirrored exactly in the oracle). Fingerprint equality
+    is exact substring evidence, so the whole pipeline is
+    integer-exact — no sketch predicate to re-verify."""
+    from aisafetyintervention_literatureextraction_spark.operators.dedup import (
+        winnow_duplicate_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return winnow_duplicate_pairs(
+        d, k=8, w=4, min_shared=20, max_bucket_size=64
+    )
+
+
 def q_sim_ivf_topk(spark, sf_dir):
     """IVF ANN top-5 at n_probe == n_cells — exhaustive probing is
     exactly brute force, so the DuckDB oracle is the exact ranking
@@ -747,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
         "text_winnow_fingerprint": q_text_winnow_fingerprint,
+        "dedup_winnow": q_dedup_winnow,
         "kg_pipeline_triples": q_kg_pipeline_triples,
         "kg_mention_spans": q_kg_mention_spans,
         "s1_raw_files": q_s1_raw_files,
@@ -1059,6 +1076,32 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id
             FROM ranked WHERE rank <= 5
+        """,
+        "dedup_winnow": """
+            WITH d AS (SELECT doc_id, lower(coalesce(text, '')) AS t
+                       FROM documents),
+            h AS (
+              SELECT doc_id,
+                     list_transform(generate_series(1, len(t) - 8 + 1),
+                       i -> CAST(list_sum(list_transform(generate_series(0, 7),
+                              j -> ascii(substr(t, i + j, 1))
+                                   * CAST(pow(31, 7 - j) AS BIGINT))) AS BIGINT)) AS hs
+              FROM d WHERE len(t) >= 8),
+            wn AS (
+              SELECT doc_id,
+                     CASE WHEN len(hs) - 4 + 1 >= 1 THEN
+                       list_transform(generate_series(1, len(hs) - 4 + 1),
+                         i -> list_min(hs[i : i + 3]))
+                     ELSE [list_min(hs)] END AS wm
+              FROM h),
+            f AS (SELECT doc_id, unnest(list_distinct(wm)) AS fp FROM wn),
+            small AS (SELECT fp FROM f GROUP BY fp HAVING COUNT(*) <= 64),
+            fs AS (SELECT f.* FROM f JOIN small USING (fp))
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   COUNT(*) AS n_shared
+            FROM fs a JOIN fs b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING COUNT(*) >= 20
         """,
         "text_winnow_fingerprint": """
             WITH d AS (SELECT doc_id, lower(coalesce(text, '')) AS t

@@ -277,3 +277,58 @@ def dedup_keep_first(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") 
         )
         .drop("__vid", "component_id")
     )
+
+
+def winnow_duplicate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_bucket_size: int | None = 64,
+) -> DataFrame:
+    """MOSS-style local dedup: documents sharing ≥ ``min_shared``
+    winnowing fingerprints (textstats.winnow_fingerprints — each
+    shared fingerprint certifies a shared substring of length ≥ k).
+    Detects copied PASSAGES, not whole-document similarity: two
+    documents that share one boilerplate paragraph pair up here but
+    not under MinHash/SimHash global-similarity thresholds.
+
+    Shape: explode fingerprints → fingerprint-bucket self-join →
+    count shared values → threshold. Sub-quadratic exactly like the
+    LSH core; ``max_bucket_size`` drops degenerate hot fingerprints
+    (a substring shared by thousands of docs pairs everything with
+    everything — the same skew guard as _lsh_verified_pairs). Unlike
+    the sketch families there is no verify step to need: fingerprint
+    equality IS exact substring evidence, so the operator is fully
+    oracle-checkable (dedup_winnow contract query)."""
+    from .textstats import winnow_fingerprints
+
+    # track(): materialize the fingerprint arrays BEFORE exploding.
+    # Generate with the nested-HOF fingerprint expression inlined into
+    # its child sends planning/codegen into a blowup that never returns
+    # at even 500 docs (explode over the cached column: 0.4 s) — and the
+    # fan-out below consumes ``ex`` three times anyway.
+    fps = track(
+        winnow_fingerprints(
+            docs.select(id_col, text_col), text_col=text_col, k=k, w=w
+        ).select(id_col, "fingerprints")
+    )
+    ex = fps.select(id_col, F.explode("fingerprints").alias("fp"))
+    if max_bucket_size:
+        small = (
+            ex.groupBy("fp").count()
+            .filter(F.col("count") <= max_bucket_size)
+            .select("fp")
+        )
+        ex = ex.join(small, "fp")
+    a = ex.select(F.col(id_col).alias("a_id"), "fp")
+    b = ex.select(F.col(id_col).alias("b_id"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

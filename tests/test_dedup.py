@@ -155,3 +155,35 @@ def test_operator_caches_released(spark, neardup_docs):
     n = release_caches()
     assert n >= 2
     assert not (cached_ids() & new)  # ...and released ALL of them
+
+
+def test_winnow_duplicate_pairs(spark):
+    """Passage-copy detection: a long copied paragraph pairs two
+    otherwise-different docs; unrelated docs don't pair; the
+    hot-bucket cap suppresses boilerplate shared by everything."""
+    from aisafetyintervention_literatureextraction_spark.operators.dedup import (
+        winnow_duplicate_pairs,
+    )
+
+    passage = "the quick brown fox jumps over the lazy dog repeatedly today"
+    rows = [
+        ("a", "intro alpha. " + passage + " outro one."),
+        ("b", "different beginning text! " + passage + " and another end."),
+        ("c", "completely unrelated content about spark catalyst plans."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        (r["a_id"], r["b_id"]): r["n_shared"]
+        for r in winnow_duplicate_pairs(
+            df, min_shared=2, max_bucket_size=None
+        ).collect()
+    }
+    assert ("a", "b") in got and got[("a", "b")] >= 2
+    assert not any("c" in p for p in got)
+
+    # every doc shares the same boilerplate: cap 2 (< 3 docs) kills it
+    boiler = [(f"d{i}", f"doc {i} unique bit. " + passage) for i in range(5)]
+    bdf = spark.createDataFrame(boiler, "doc_id string, text string")
+    assert (
+        winnow_duplicate_pairs(bdf, min_shared=2, max_bucket_size=2).count() == 0
+    )
