@@ -83,6 +83,36 @@ class Catalog:
     def exists(self, name: str) -> bool:
         return self.current_version(name) is not None
 
+    def tables(self) -> list[str]:
+        """Names of every live table in the warehouse (sorted)."""
+        if not os.path.isdir(self.warehouse):
+            return []
+        return sorted(
+            n for n in os.listdir(self.warehouse) if self.exists(n)
+        )
+
+    def register_views(self, prefix: str = "", include_internal: bool = False,
+                       tables: list[str] | None = None) -> list[str]:
+        """SQL surface: expose warehouse tables as session temp views so
+        ``spark.sql("SELECT ... FROM kg_edges ...")`` works against the
+        catalog (reads go through :meth:`read`, so views always see the
+        CURRENT committed version as of registration — re-register after
+        new commits for a fresh snapshot). Internal bookkeeping tables
+        (``_ckpt_*``) are skipped unless ``include_internal``; their
+        leading underscore is not a legal SQL identifier start, so they
+        register under ``<prefix>internal_<name>``. Returns the view
+        names registered."""
+        out = []
+        for name in (tables if tables is not None else self.tables()):
+            if name.startswith("_") and not include_internal:
+                continue
+            view = prefix + (
+                f"internal{name}" if name.startswith("_") else name
+            )
+            self.read(name).createOrReplaceTempView(view)
+            out.append(view)
+        return out
+
     # -- manifests -----------------------------------------------------------
     def _manifest(self, name: str, version: int | None = None) -> dict:
         v = self.current_version(name) if version is None else version

@@ -253,3 +253,52 @@ def test_read_raises_on_missing_live_data_dir(spark, catalog):
     shutil.rmtree(os.path.join(catalog._table_dir("t"), m["entries"][0]["path"]))
     with pytest.raises(FileNotFoundError):
         catalog.read("t").collect()
+
+
+def test_sql_surface_register_views(spark, catalog):
+    """Catalog.register_views exposes warehouse tables to spark.sql —
+    the engine's SQL query surface. Views snapshot the committed
+    version at registration; internal _ckpt tables are skipped by
+    default and name-mangled when included."""
+    import pyspark.sql.functions as F
+
+    catalog.append(
+        spark.createDataFrame([("n1", "x"), ("n2", "y")], "node_id string, name string"),
+        "kg_nodes",
+    )
+    catalog.append(
+        spark.createDataFrame([("n1", "n2", 3)], "src string, dst string, n int"),
+        "kg_edges",
+    )
+    catalog.append(
+        spark.createDataFrame([("A", "c1", "r")], "stage string, conv_id string, run_id string"),
+        "_ckpt_stage_state",
+    )
+    assert catalog.tables() == ["_ckpt_stage_state", "kg_edges", "kg_nodes"]
+
+    views = catalog.register_views(prefix="kg_test_")
+    assert views == ["kg_test_kg_edges", "kg_test_kg_nodes"]
+    got = spark.sql("""
+        SELECT e.src, a.name AS src_name, b.name AS dst_name, e.n
+        FROM kg_test_kg_edges e
+        JOIN kg_test_kg_nodes a ON e.src = a.node_id
+        JOIN kg_test_kg_nodes b ON e.dst = b.node_id
+    """).collect()
+    assert len(got) == 1 and got[0]["src_name"] == "x" and got[0]["n"] == 3
+
+    # views are a snapshot: a new commit isn't visible until re-register
+    catalog.append(
+        spark.createDataFrame([("n2", "n1", 9)], "src string, dst string, n int"),
+        "kg_edges",
+    )
+    assert spark.sql("SELECT COUNT(*) AS c FROM kg_test_kg_edges").first()["c"] == 1
+    catalog.register_views(prefix="kg_test_")
+    assert spark.sql("SELECT COUNT(*) AS c FROM kg_test_kg_edges").first()["c"] == 2
+
+    with_internal = catalog.register_views(prefix="kg_test_", include_internal=True)
+    assert "kg_test_internal_ckpt_stage_state" in with_internal
+    assert spark.sql(
+        "SELECT stage FROM kg_test_internal_ckpt_stage_state"
+    ).first()["stage"] == "A"
+    for v in set(views) | set(with_internal):
+        spark.catalog.dropTempView(v)
