@@ -689,6 +689,151 @@ def mux_mp4(samples: list[bytes], fourcc: bytes = b"jpeg",
     return ftyp + mdat + moov
 
 
+_EBML_MAGIC = b"\x1a\x45\xdf\xa3"
+# element IDs (ITU/IETF Matroska spec, public)
+_MKV_SEGMENT = 0x18538067
+_MKV_TRACKS = 0x1654AE6B
+_MKV_TRACKENTRY = 0xAE
+_MKV_TRACKNUMBER = 0xD7
+_MKV_TRACKTYPE = 0x83
+_MKV_CLUSTER = 0x1F43B675
+_MKV_SIMPLEBLOCK = 0xA3
+_MKV_BLOCKGROUP = 0xA0
+_MKV_BLOCK = 0xA1
+
+
+def _ebml_vint(buf: bytes, pos: int, mask: bool):
+    """Read one EBML varint at pos → (value, next_pos). ``mask`` strips
+    the length-marker bit (sizes); element IDs keep it."""
+    b0 = buf[pos]
+    if b0 == 0:
+        raise ValueError("invalid EBML varint")
+    length = 9 - b0.bit_length()
+    v = (b0 & ((1 << (8 - length)) - 1)) if mask else b0
+    for i in range(1, length):
+        v = (v << 8) | buf[pos + i]
+    return v, pos + length
+
+
+def _ebml_children(buf: bytes, start: int, end: int):
+    """Yield (element_id, body_start, body_end) over an EBML range.
+    Unknown-size elements extend to the end of the parent."""
+    pos = start
+    while pos < end:
+        eid, p = _ebml_vint(buf, pos, mask=False)
+        size, body = _ebml_vint(buf, p, mask=True)
+        marker_len = body - p
+        unknown = size == (1 << (7 * marker_len)) - 1
+        stop = end if unknown else min(body + size, end)
+        yield eid, body, stop
+        pos = stop
+
+
+def demux_mkv(payload: bytes):
+    """Minimal Matroska/WebM demuxer (pure stdlib): find the first
+    video TrackEntry in Tracks, then collect that track's un-laced
+    SimpleBlock/Block frame payloads across Clusters. Same contract as
+    demux_avi/demux_mp4 — returns encoded frame bytes (decode depends
+    on the frame codec); laced blocks are skipped (lacing is a
+    multi-frame packing optimization our fixture writer never emits)."""
+    if not payload or not payload.startswith(_EBML_MAGIC):
+        return None
+    try:
+        segment = None
+        for eid, body, stop in _ebml_children(payload, 0, len(payload)):
+            if eid == _MKV_SEGMENT:
+                segment = (body, stop)
+                break
+        if segment is None:
+            return None
+        video_track = None
+        for eid, body, stop in _ebml_children(payload, *segment):
+            if eid != _MKV_TRACKS:
+                continue
+            for tid, tbody, tstop in _ebml_children(payload, body, stop):
+                if tid != _MKV_TRACKENTRY:
+                    continue
+                num = ttype = None
+                for fid, fbody, fstop in _ebml_children(payload, tbody, tstop):
+                    if fid == _MKV_TRACKNUMBER:
+                        num = int.from_bytes(payload[fbody:fstop], "big")
+                    elif fid == _MKV_TRACKTYPE:
+                        ttype = int.from_bytes(payload[fbody:fstop], "big")
+                if ttype == 1 and num is not None:
+                    video_track = num
+                    break
+            if video_track is not None:
+                break
+        if video_track is None:
+            return None
+
+        frames: list[bytes] = []
+
+        def take_block(body: int, stop: int) -> None:
+            track, p = _ebml_vint(payload, body, mask=True)
+            flags = payload[p + 2]
+            if track == video_track and (flags & 0x06) == 0:  # no lacing
+                frames.append(bytes(payload[p + 3:stop]))
+
+        for eid, body, stop in _ebml_children(payload, *segment):
+            if eid != _MKV_CLUSTER:
+                continue
+            for cid, cbody, cstop in _ebml_children(payload, body, stop):
+                if cid == _MKV_SIMPLEBLOCK:
+                    take_block(cbody, cstop)
+                elif cid == _MKV_BLOCKGROUP:
+                    for gid, gbody, gstop in _ebml_children(payload, cbody, cstop):
+                        if gid == _MKV_BLOCK:
+                            take_block(gbody, gstop)
+        return frames or None
+    except Exception:
+        return None
+
+
+def mux_mkv(samples: list[bytes], doctype: bytes = b"matroska") -> bytes:
+    """Fixture Matroska writer: one video track (TrackNumber 1), one
+    Cluster, one un-laced keyframe SimpleBlock per sample."""
+
+    def vint_size(n: int) -> bytes:  # size varint with marker
+        for length in range(1, 9):
+            if n < (1 << (7 * length)) - 1:
+                bits = n | (1 << (7 * length))
+                return bits.to_bytes(length, "big")
+        raise ValueError("size too large")
+
+    def elem(eid_bytes: bytes, body: bytes) -> bytes:
+        return eid_bytes + vint_size(len(body)) + body
+
+    def uint(v: int) -> bytes:
+        return v.to_bytes(max((v.bit_length() + 7) // 8, 1), "big")
+
+    header = elem(
+        _EBML_MAGIC,
+        elem(b"\x42\x86", uint(1)) + elem(b"\x42\xf7", uint(1))      # version
+        + elem(b"\x42\xf2", uint(4)) + elem(b"\x42\xf3", uint(8))    # id/size widths
+        + elem(b"\x42\x82", doctype)
+        + elem(b"\x42\x87", uint(2)) + elem(b"\x42\x85", uint(2)),   # doctype ver
+    )
+    info = elem(
+        b"\x15\x49\xa9\x66",
+        elem(b"\x2a\xd7\xb1", uint(1_000_000)),  # TimestampScale (1 ms)
+    )
+    track_entry = elem(
+        b"\xae",
+        elem(b"\xd7", uint(1)) + elem(b"\x73\xc5", uint(1))  # number, UID
+        + elem(b"\x83", uint(1))                              # type: video
+        + elem(b"\x86", b"V_UNCOMPRESSED"),                   # CodecID
+    )
+    tracks = elem(b"\x16\x54\xae\x6b", track_entry)
+    blocks = b"".join(
+        elem(b"\xa3", b"\x81" + (16 * i).to_bytes(2, "big") + b"\x80" + s)
+        for i, s in enumerate(samples)
+    )
+    cluster = elem(b"\x1f\x43\xb6\x75", elem(b"\xe7", uint(0)) + blocks)
+    segment = elem(b"\x18\x53\x80\x67", info + tracks + cluster)
+    return header + segment
+
+
 def decode_wav(payload: bytes):
     """Pure-stdlib RIFF/WAVE PCM decoder: 8/16/32-bit integer and
     32-bit float PCM → (samples float64 (n, channels) in [-1, 1],
@@ -985,8 +1130,11 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     demux their stream chunks (demux_avi — MJPEG/PNG/DIB-coded AVIs);
     animated GIFs decode to composited RGB frames (re-encoded P6); a
     concatenated-P6 stream (mime video/x-ppm-stream) splits on the P6
-    magic. Remaining containers (MKV/WebM) emit deterministic payload
-    slices until ffmpeg is wired in."""
+    magic; Matroska/WebM clusters demux their un-laced video-track
+    blocks (demux_mkv). Frame DECODE past the demux still depends on
+    the frame codec (our PPM/BMP/PNG/GIF/JPEG decoders, or PIL);
+    anything else emits deterministic payload slices until ffmpeg is
+    wired in."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1005,6 +1153,17 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                         1,
                     )
                     for i, f in enumerate(mp4_frames[::step]):
+                        rows["media_id"].append(mid)
+                        rows["frame_idx"].append(i)
+                        rows["frame_payload"].append(f)
+                    continue
+                mkv_frames = demux_mkv(payload)
+                if mkv_frames:
+                    step = max(
+                        len(mkv_frames) * every_ms // max(int(dur or 0), every_ms),
+                        1,
+                    )
+                    for i, f in enumerate(mkv_frames[::step]):
                         rows["media_id"].append(mid)
                         rows["frame_idx"].append(i)
                         rows["frame_payload"].append(f)

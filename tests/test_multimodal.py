@@ -484,3 +484,37 @@ def test_mp4_demux_and_jpeg_frames(spark):
     for i, fr in enumerate(frames):
         dec = decode_jpeg(bytes(fr["frame_payload"]))
         assert np.abs(dec.astype(int) - imgs[i].astype(int)).mean() < 6.0
+
+
+def test_mkv_demux_and_frame_decode(spark):
+    """mux_mkv → demux_mkv round-trips un-laced SimpleBlock payloads
+    exactly; a PNG-coded Matroska runs end-to-end through
+    sample_frames (EBML walk → frames → our PNG decoder)."""
+    import numpy as np
+
+    from aisafetyintervention_literatureextraction_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_png,
+        demux_mkv,
+        encode_png,
+        mux_mkv,
+        sample_frames,
+    )
+
+    imgs = [_rand_img(7, 9, 3, seed=40 + i) for i in range(4)]
+    pngs = [encode_png(im) for im in imgs]
+    mkv = mux_mkv(pngs)
+    assert demux_mkv(mkv) == pngs
+    assert demux_mkv(b"\x1a\x45\xdf\xa3" + b"\x00") is None  # corrupt
+    assert demux_mkv(b"RIFF....AVI ") is None                # not EBML
+
+    rows = [{"media_id": 41, "kind": "video", "mime": "video/x-matroska",
+             "payload": bytearray(mkv), "width": None, "height": None,
+             "duration_ms": 4000}]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    frames = sorted(
+        sample_frames(media, every_ms=1000).collect(), key=lambda r: r["frame_idx"]
+    )
+    assert len(frames) == 4
+    for i, fr in enumerate(frames):
+        np.testing.assert_array_equal(decode_png(bytes(fr["frame_payload"])), imgs[i])
