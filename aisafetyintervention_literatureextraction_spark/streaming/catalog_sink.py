@@ -90,6 +90,83 @@ _AB_APPEND_TABLES = [
 ]
 
 
+def _process_ab_batch(
+    spark: SparkSession,
+    catalog,
+    batch_df: DataFrame,
+    batch_id: int,
+    stream_id: str,
+    extract_engine: str = "arrow",
+    salt_segment: int = 4096,
+) -> str:
+    """One micro-batch of streaming stages A+B under ONE atomic run_id
+    (the foreachBatch body of :func:`stream_pipeline_to_catalog`,
+    factored out so tests can drive per-file triggers directly).
+    Returns 'appended' or 'skipped'."""
+    from pyspark.sql import functions as F
+
+    from ..functions import caching
+    from ..operators.extraction import extract_nodes, extract_triples
+    from ..operators.materialize import aggregate_raw_edges, edge_agg_combiner
+    from ..sources.extraction_json import validate_nodes, validate_triples
+
+    run_id = f"{stream_id}-b{batch_id}"
+    committed = ckpt.committed_run_ids(catalog)
+    if run_id in committed:
+        return "skipped"  # replayed, fully-committed batch
+    # heal a torn prior attempt of this batch before re-appending
+    for t in _AB_APPEND_TABLES:
+        catalog.prune_orphan_runs(t, committed)
+    ckpt.reconcile_versions(catalog, ["edges_agg"])
+
+    res = reassemble(batch_df, salt_segment=salt_segment)
+    docs = caching.track(res.documents)
+    quar = caching.track(res.quarantine)
+    catalog.append(docs, "documents", run_id=run_id)
+    if catalog.exists("quarantine") or quar.limit(1).count() > 0:
+        catalog.append(quar, "quarantine", run_id=run_id)
+    catalog.append(  # K2 raw-input audit, replay contract as batch
+        docs.select(
+            F.lit(run_id).alias("run_id"), "conv_id", "n_turns", "doc_text"
+        ),
+        "raw_inputs", run_id=run_id,
+    )
+    triples = caching.track(extract_triples(docs, engine=extract_engine))
+    nodes = caching.track(extract_nodes(docs, engine=extract_engine))
+    t_ok, t_bad = validate_triples(triples)
+    n_ok, n_bad = validate_nodes(nodes)
+    t_ok = caching.track(t_ok)  # consumed by append + edges_agg merge
+    catalog.append(t_ok, "triples_raw", run_id=run_id)
+    catalog.append(n_ok, "nodes_raw", run_id=run_id)
+    catalog.append(t_bad, "quarantine_triples", run_id=run_id)
+    catalog.append(n_bad, "quarantine_nodes", run_id=run_id)
+    catalog.merge_combine(
+        aggregate_raw_edges(t_ok), "edges_agg",
+        keys=["subj", "pred", "obj"], combiner=edge_agg_combiner,
+        run_id=run_id,
+    )
+    # COMMIT POINT: one atomic state append carrying BOTH stages'
+    # processed sets (mark_processed twice would commit the run_id
+    # after the first append, breaking the all-or-nothing window)
+    processed_a = docs.select("conv_id").union(
+        quar.select("conv_id")
+    ).distinct()
+    state_rows = processed_a.select(
+        F.lit("A_reassemble").alias("stage"),
+        F.col("conv_id").cast("string").alias("conv_id"),
+        F.lit(run_id).alias("run_id"),
+    ).union(
+        docs.select(
+            F.lit("B_extract").alias("stage"),
+            F.col("conv_id").cast("string").alias("conv_id"),
+            F.lit(run_id).alias("run_id"),
+        )
+    )
+    catalog.append(state_rows, ckpt.STATE)
+    caching.release_caches()
+    return "appended"
+
+
 def stream_pipeline_to_catalog(
     spark: SparkSession,
     source_path: str,
@@ -125,70 +202,13 @@ def stream_pipeline_to_catalog(
     across arrivals belong to the stateful assembler
     (streaming/stateful.py), which owns cross-batch state.
     """
-    from pyspark.sql import functions as F
-
-    from ..functions import caching
-    from ..operators.extraction import extract_nodes, extract_triples
-    from ..operators.materialize import aggregate_raw_edges, edge_agg_combiner
-    from ..sources.extraction_json import validate_nodes, validate_triples
-
     src = spark.readStream.schema(TRANSCRIPTS).parquet(source_path)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        run_id = f"{stream_id}-b{batch_id}"
-        committed = ckpt.committed_run_ids(catalog)
-        if run_id in committed:
-            return  # replayed, fully-committed batch: exactly-once skip
-        # heal a torn prior attempt of this batch before re-appending
-        for t in _AB_APPEND_TABLES:
-            catalog.prune_orphan_runs(t, committed)
-        ckpt.reconcile_versions(catalog, ["edges_agg"])
-
-        res = reassemble(batch_df, salt_segment=salt_segment)
-        docs = caching.track(res.documents)
-        quar = caching.track(res.quarantine)
-        catalog.append(docs, "documents", run_id=run_id)
-        if catalog.exists("quarantine") or quar.limit(1).count() > 0:
-            catalog.append(quar, "quarantine", run_id=run_id)
-        catalog.append(  # K2 raw-input audit, replay contract as batch
-            docs.select(
-                F.lit(run_id).alias("run_id"), "conv_id", "n_turns", "doc_text"
-            ),
-            "raw_inputs", run_id=run_id,
+        _process_ab_batch(
+            spark, catalog, batch_df, batch_id, stream_id,
+            extract_engine=extract_engine, salt_segment=salt_segment,
         )
-        triples = caching.track(extract_triples(docs, engine=extract_engine))
-        nodes = caching.track(extract_nodes(docs, engine=extract_engine))
-        t_ok, t_bad = validate_triples(triples)
-        n_ok, n_bad = validate_nodes(nodes)
-        t_ok = caching.track(t_ok)  # consumed by append + edges_agg merge
-        catalog.append(t_ok, "triples_raw", run_id=run_id)
-        catalog.append(n_ok, "nodes_raw", run_id=run_id)
-        catalog.append(t_bad, "quarantine_triples", run_id=run_id)
-        catalog.append(n_bad, "quarantine_nodes", run_id=run_id)
-        catalog.merge_combine(
-            aggregate_raw_edges(t_ok), "edges_agg",
-            keys=["subj", "pred", "obj"], combiner=edge_agg_combiner,
-            run_id=run_id,
-        )
-        # COMMIT POINT: one atomic state append carrying BOTH stages'
-        # processed sets (mark_processed twice would commit the run_id
-        # after the first append, breaking the all-or-nothing window)
-        processed_a = docs.select("conv_id").union(
-            quar.select("conv_id")
-        ).distinct()
-        state_rows = processed_a.select(
-            F.lit("A_reassemble").alias("stage"),
-            F.col("conv_id").cast("string").alias("conv_id"),
-            F.lit(run_id).alias("run_id"),
-        ).union(
-            docs.select(
-                F.lit("B_extract").alias("stage"),
-                F.col("conv_id").cast("string").alias("conv_id"),
-                F.lit(run_id).alias("run_id"),
-            )
-        )
-        catalog.append(state_rows, ckpt.STATE)
-        caching.release_caches()
 
     q = (
         src.writeStream.foreachBatch(process)

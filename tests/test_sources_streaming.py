@@ -234,3 +234,79 @@ def test_stream_pipeline_ab_exactly_once(spark, corpus, tmp_path):
     assert cat_s.read("documents").count() == n_docs
     assert cat_s.read("triples_raw").count() == n_triples
     assert rows(cat_s, "edges_agg") == rows(cat_b, "edges_agg")
+
+
+def test_stream_pipeline_ab_multibatch(spark, corpus, tmp_path):
+    """Multi-batch exactly-once: with maxFilesPerTrigger=1 each file is
+    its own micro-batch (own run_id, own atomic commit). The final
+    warehouse equals the batch pipeline's regardless of batch count,
+    and a full offset replay of EVERY batch changes nothing."""
+    import pyspark.sql.functions as F
+
+    from aisafetyintervention_literatureextraction_spark.catalog import Catalog
+    from aisafetyintervention_literatureextraction_spark import checkpoint as ckpt
+    from aisafetyintervention_literatureextraction_spark.plans.pipeline import (
+        PipelineConfig,
+        stage_a_reassemble,
+        stage_b_extract,
+    )
+    from aisafetyintervention_literatureextraction_spark.schemas import TRANSCRIPTS
+    from aisafetyintervention_literatureextraction_spark.streaming.catalog_sink import (
+        stream_pipeline_to_catalog,
+    )
+
+    df, _ = corpus
+    src = str(tmp_path / "src")
+    # hash-partition by conv_id: every conversation lands whole in ONE
+    # file, so file-grained micro-batches respect the reassembly contract
+    df.repartition(4, "conv_id").write.parquet(src)
+
+    cat_s = Catalog(spark, str(tmp_path / "wh_s"))
+
+    def run(ck):
+        from pyspark.sql import DataFrame
+        src_df = (
+            spark.readStream.schema(TRANSCRIPTS)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        # reuse the sink's process fn via the public API — but with the
+        # per-file trigger we must build the stream here
+        from aisafetyintervention_literatureextraction_spark.streaming import (
+            catalog_sink as cs,
+        )
+        held = []
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            held.append(batch_id)
+            cs._process_ab_batch(spark, cat_s, batch_df, batch_id, "mb")
+
+        q = (
+            src_df.writeStream.foreachBatch(process)
+            .option("checkpointLocation", ck).trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return held
+
+    batches = run(str(tmp_path / "ck1"))
+    assert len(batches) >= 3  # genuinely multi-batch
+    run_ids = {r for r in ckpt.committed_run_ids(cat_s) if r.startswith("mb-")}
+    assert len(run_ids) == len(batches)  # one atomic commit per batch
+
+    cat_b = Catalog(spark, str(tmp_path / "wh_b"))
+    cfg_b = PipelineConfig(warehouse=str(tmp_path / "wh_b"))
+    stage_a_reassemble(cat_b, spark.read.parquet(src), cfg_b)
+    stage_b_extract(cat_b, cfg_b)
+
+    def rows(cat, table):
+        dfr = cat.read(table)
+        cols = sorted(dfr.columns)
+        return sorted((tuple(r[c] for c in cols) for r in dfr.collect()), key=repr)
+
+    for t in ["documents", "triples_raw", "nodes_raw", "edges_agg"]:
+        assert rows(cat_s, t) == rows(cat_b, t), t
+
+    # replay every batch (fresh checkpoint): all skipped, nothing changes
+    n_docs = cat_s.read("documents").count()
+    run(str(tmp_path / "ck2"))
+    assert cat_s.read("documents").count() == n_docs
+    assert rows(cat_s, "edges_agg") == rows(cat_b, "edges_agg")
