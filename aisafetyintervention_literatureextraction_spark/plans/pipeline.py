@@ -381,18 +381,64 @@ def run_pipeline(
     }
 
 
+def run_pipeline_streaming(
+    spark: SparkSession, source_path: str, warehouse: str, **kwargs
+) -> dict:
+    """Streaming ingest variant: stages A+B drain from ``source_path``
+    as an exactly-once AvailableNow stream (one atomic commit per
+    micro-batch — streaming/catalog_sink.stream_pipeline_to_catalog),
+    then stages C/D run as the batch catch-up over the streamed
+    warehouse. Because the stream writes the batch stages' processed
+    sets, this composes with plain ``run_pipeline`` in either order
+    on the same warehouse."""
+    import os
+
+    from ..streaming.catalog_sink import stream_pipeline_to_catalog
+
+    cfg = PipelineConfig(warehouse=warehouse, **kwargs)
+    cat = make_catalog(spark, warehouse, backend=cfg.catalog_backend)
+    t0 = time.time()
+    stream_pipeline_to_catalog(
+        spark, source_path, cat,
+        checkpoint_path=os.path.join(warehouse, "_stream_ckpt"),
+        extract_engine=cfg.extract_engine, salt_segment=cfg.salt_segment,
+    )
+    stage_c_canonicalize(cat, cfg)
+    stage_d_materialize(cat, cfg)
+    caching.release_caches()
+    wall = time.time() - t0
+    n_triples = cat.read("triples_raw").count()
+    return {
+        "wall_s": wall,
+        "n_triples": n_triples,
+        "triples_per_sec": n_triples / wall,
+        "n_kg_nodes": cat.read("kg_nodes").count(),
+        "n_kg_edges": cat.read("kg_edges").count(),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--transcripts", required=True, help="parquet path of transcripts")
     ap.add_argument("--warehouse", required=True)
     ap.add_argument("--engine", default="arrow")
     ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--stream", action="store_true",
+                    help="ingest stages A+B as an exactly-once "
+                         "AvailableNow stream, then run C/D catch-up")
     args = ap.parse_args()
     spark = get_spark("kg-pipeline", cpus=args.cpus)
-    from ..sources.transcripts import read_transcripts
+    if args.stream:
+        stats = run_pipeline_streaming(
+            spark, args.transcripts, args.warehouse, extract_engine=args.engine
+        )
+    else:
+        from ..sources.transcripts import read_transcripts
 
-    transcripts = read_transcripts(spark, args.transcripts)
-    stats = run_pipeline(spark, transcripts, args.warehouse, extract_engine=args.engine)
+        transcripts = read_transcripts(spark, args.transcripts)
+        stats = run_pipeline(
+            spark, transcripts, args.warehouse, extract_engine=args.engine
+        )
     print(stats)
 
 

@@ -310,3 +310,33 @@ def test_stream_pipeline_ab_multibatch(spark, corpus, tmp_path):
     run(str(tmp_path / "ck2"))
     assert cat_s.read("documents").count() == n_docs
     assert rows(cat_s, "edges_agg") == rows(cat_b, "edges_agg")
+
+
+def test_run_pipeline_streaming_equals_batch(spark, corpus, tmp_path):
+    """The --stream CLI path (streaming A+B ingest → batch C/D
+    catch-up) lands the same final KG as the all-batch pipeline."""
+    from aisafetyintervention_literatureextraction_spark.catalog import Catalog
+    from aisafetyintervention_literatureextraction_spark.plans.pipeline import (
+        run_pipeline,
+        run_pipeline_streaming,
+    )
+
+    df, _ = corpus
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+
+    s_stats = run_pipeline_streaming(spark, src, str(tmp_path / "wh_s"))
+    b_stats = run_pipeline(spark, df, str(tmp_path / "wh_b"))
+    assert s_stats["n_triples"] == b_stats["n_triples"] > 0
+    assert s_stats["n_kg_nodes"] == b_stats["n_kg_nodes"]
+    assert s_stats["n_kg_edges"] == b_stats["n_kg_edges"]
+
+    cat_s, cat_b = Catalog(spark, str(tmp_path / "wh_s")), Catalog(spark, str(tmp_path / "wh_b"))
+    for t in ["kg_nodes", "kg_edges"]:
+        a = cat_s.read(t)
+        cols = sorted(a.columns)
+        sa = sorted((tuple(r[c] for c in cols) for r in a.collect()), key=repr)
+        sb = sorted(
+            (tuple(r[c] for c in cols) for r in cat_b.read(t).collect()), key=repr
+        )
+        assert sa == sb, t
