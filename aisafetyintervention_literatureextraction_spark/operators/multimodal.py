@@ -536,10 +536,11 @@ def _mp4_boxes(buf: bytes, start: int, end: int):
         pos += size
 
 
-def demux_mp4(payload: bytes):
+def demux_mp4(payload: bytes, handler: bytes = b"vide"):
     """Minimal ISO-BMFF/MP4 demuxer (pure stdlib): walk moov→trak→stbl,
-    pick the first video track (hdlr 'vide'), and reassemble its sample
-    payloads from the stsz/stsc/stco(co64) tables. Returns the encoded
+    pick the first track with the requested handler ('vide' video
+    default, 'soun' audio), and reassemble its sample payloads from
+    the stsz/stsc/stco(co64) tables. Returns the encoded
     sample bytes — with a 'jpeg'-coded track our own decoder handles
     the frames end-to-end; H.264/H.265 samples still demux but need an
     external codec to decode (same contract as demux_avi)."""
@@ -594,7 +595,7 @@ def demux_mp4(payload: bytes):
             if typ == b"moov":
                 walk(body, nxt, None)
         for t in tracks:
-            if t.get("handler") != b"vide":
+            if t.get("handler") != handler:
                 continue
             sizes, offsets = t.get("sizes"), t.get("offsets")
             runs = t.get("runs") or [(1, 1)]
@@ -620,9 +621,11 @@ def demux_mp4(payload: bytes):
 
 
 def mux_mp4(samples: list[bytes], fourcc: bytes = b"jpeg",
-            width: int = 0, height: int = 0) -> bytes:
-    """Fixture MP4 writer: one video track, one sample per chunk,
-    layout ftyp|mdat|moov so chunk offsets are known up front."""
+            width: int = 0, height: int = 0,
+            handler: bytes = b"vide") -> bytes:
+    """Fixture MP4 writer: one track (video by default; pass
+    handler=b'soun' for audio), one sample per chunk, layout
+    ftyp|mdat|moov so chunk offsets are known up front."""
     import struct
 
     def box(typ: bytes, body: bytes) -> bytes:
@@ -666,7 +669,7 @@ def mux_mp4(samples: list[bytes], fourcc: bytes = b"jpeg",
     )
     vmhd = box(b"vmhd", b"\x00\x00\x00\x01" + b"\x00" * 8)
     minf = box(b"minf", vmhd + dinf + stbl)
-    hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12 + b"\x00")
+    hdlr = box(b"hdlr", b"\x00" * 8 + handler + b"\x00" * 12 + b"\x00")
     mdhd = box(
         b"mdhd", b"\x00" * 4 + struct.pack(">IIII", 0, 0, 1000, n * 40)
         + struct.pack(">HH", 0x55C4, 0),
@@ -729,9 +732,10 @@ def _ebml_children(buf: bytes, start: int, end: int):
         pos = stop
 
 
-def demux_mkv(payload: bytes):
+def demux_mkv(payload: bytes, track_type: int = 1):
     """Minimal Matroska/WebM demuxer (pure stdlib): find the first
-    video TrackEntry in Tracks, then collect that track's un-laced
+    TrackEntry of ``track_type`` (1 video default, 2 audio) in Tracks,
+    then collect that track's un-laced
     SimpleBlock/Block frame payloads across Clusters. Same contract as
     demux_avi/demux_mp4 — returns encoded frame bytes (decode depends
     on the frame codec); laced blocks are skipped (lacing is a
@@ -759,7 +763,7 @@ def demux_mkv(payload: bytes):
                         num = int.from_bytes(payload[fbody:fstop], "big")
                     elif fid == _MKV_TRACKTYPE:
                         ttype = int.from_bytes(payload[fbody:fstop], "big")
-                if ttype == 1 and num is not None:
+                if ttype == track_type and num is not None:
                     video_track = num
                     break
             if video_track is not None:
@@ -790,9 +794,11 @@ def demux_mkv(payload: bytes):
         return None
 
 
-def mux_mkv(samples: list[bytes], doctype: bytes = b"matroska") -> bytes:
-    """Fixture Matroska writer: one video track (TrackNumber 1), one
-    Cluster, one un-laced keyframe SimpleBlock per sample."""
+def mux_mkv(samples: list[bytes], doctype: bytes = b"matroska",
+            track_type: int = 1) -> bytes:
+    """Fixture Matroska writer: one track (TrackNumber 1; video by
+    default, ``track_type=2`` audio), one Cluster, one un-laced
+    keyframe SimpleBlock per sample."""
 
     def vint_size(n: int) -> bytes:  # size varint with marker
         for length in range(1, 9):
@@ -821,8 +827,9 @@ def mux_mkv(samples: list[bytes], doctype: bytes = b"matroska") -> bytes:
     track_entry = elem(
         b"\xae",
         elem(b"\xd7", uint(1)) + elem(b"\x73\xc5", uint(1))  # number, UID
-        + elem(b"\x83", uint(1))                              # type: video
-        + elem(b"\x86", b"V_UNCOMPRESSED"),                   # CodecID
+        + elem(b"\x83", uint(track_type))
+        + elem(b"\x86",
+               b"V_UNCOMPRESSED" if track_type == 1 else b"A_PCM/INT/LIT"),
     )
     tracks = elem(b"\x16\x54\xae\x6b", track_entry)
     blocks = b"".join(

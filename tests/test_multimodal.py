@@ -518,3 +518,34 @@ def test_mkv_demux_and_frame_decode(spark):
     assert len(frames) == 4
     for i, fr in enumerate(frames):
         np.testing.assert_array_equal(decode_png(bytes(fr["frame_payload"])), imgs[i])
+
+
+def test_audio_track_demux_mp4_and_mkv(spark):
+    """Audio tracks demux from both containers (handler 'soun' /
+    track type 2) and a WAV-coded sample decodes end-to-end; asking
+    for the video track of an audio-only file returns None."""
+    import numpy as np
+
+    from aisafetyintervention_literatureextraction_spark.operators.multimodal import (
+        decode_wav,
+        demux_mkv,
+        demux_mp4,
+        encode_wav,
+        mux_mkv,
+        mux_mp4,
+    )
+
+    rng = np.random.default_rng(50)
+    clips = [
+        encode_wav((rng.uniform(-1, 1, 800) * 32000).astype(np.int16), 8000)
+        for _ in range(3)
+    ]
+    mp4 = mux_mp4(clips, fourcc=b"sowt", handler=b"soun")
+    assert demux_mp4(mp4, handler=b"soun") == clips
+    assert demux_mp4(mp4) is None  # no video track in an audio-only file
+    mkv = mux_mkv(clips, track_type=2)
+    assert demux_mkv(mkv, track_type=2) == clips
+    assert demux_mkv(mkv) is None
+
+    got = decode_wav(demux_mp4(mp4, handler=b"soun")[0])
+    assert got is not None and got[1] == 8000 and len(got[0]) == 800
