@@ -141,10 +141,10 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 def decode_png(payload: bytes):
     """Pure-stdlib PNG decoder (zlib inflate + per-row unfiltering):
-    8-bit depth, color types 0/2/4/6 (gray, RGB, gray+alpha, RGBA),
-    non-interlaced — the 90% case of real PNGs (VERDICT r2 next-step
-    #6). Palette/16-bit/Adam7 return None (digest-fallback path).
-    Returns uint8 (h, w, 3) RGB or None."""
+    8-bit depth, color types 0/2/3/4/6 (gray, RGB, PLTE palette,
+    gray+alpha, RGBA), non-interlaced — the real-PNG coverage
+    (VERDICT r2 next-step #6). 16-bit/Adam7 return None
+    (digest-fallback path). Returns uint8 (h, w, 3) RGB or None."""
     import struct
     import zlib
 
@@ -152,13 +152,15 @@ def decode_png(payload: bytes):
 
     if not payload or not payload.startswith(_PNG_SIG):
         return None
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte = 8, None, [], None
     while pos + 8 <= len(payload):
         ln, typ = struct.unpack(">I4s", payload[pos:pos + 8])
         data = payload[pos + 8:pos + 8 + ln]
         pos += 12 + ln
         if typ == b"IHDR":
             ihdr = data
+        elif typ == b"PLTE":
+            plte = data
         elif typ == b"IDAT":
             idat.append(data)
         elif typ == b"IEND":
@@ -166,8 +168,10 @@ def decode_png(payload: bytes):
     if ihdr is None or len(ihdr) < 13 or not idat:
         return None
     w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr[:13])
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if depth != 8 or comp or filt or interlace or channels is None or not w or not h:
+        return None
+    if ctype == 3 and (plte is None or len(plte) % 3):
         return None
     try:
         raw = zlib.decompress(b"".join(idat))
@@ -212,6 +216,9 @@ def decode_png(payload: bytes):
         out[y] = rec
         prev = rec
     img = out.reshape(h, w, channels)
+    if ctype == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        return pal[np.minimum(img[:, :, 0], len(pal) - 1)]
     if ctype == 0:
         return np.repeat(img, 3, axis=2)
     if ctype == 4:

@@ -549,3 +549,35 @@ def test_audio_track_demux_mp4_and_mkv(spark):
 
     got = decode_wav(demux_mp4(mp4, handler=b"soun")[0])
     assert got is not None and got[1] == 8000 and len(got[0]) == 800
+
+
+def test_png_palette_decode():
+    """Color-type-3 (PLTE) PNGs decode to the palette's RGB."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from aisafetyintervention_literatureextraction_spark.operators.multimodal import (
+        decode_png,
+    )
+
+    rng = np.random.default_rng(60)
+    pal = rng.integers(0, 256, size=(5, 3), dtype=np.uint8)
+    idx = rng.integers(0, 5, size=(6, 4), dtype=np.uint8)
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 4, 6, 8, 3, 0, 0, 0)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(6))
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"PLTE", pal.tobytes())
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    got = decode_png(png)
+    np.testing.assert_array_equal(got, pal[idx])
+    # palette missing → reject rather than garbage
+    broken = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+              + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    assert decode_png(broken) is None
