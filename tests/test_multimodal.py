@@ -581,3 +581,40 @@ def test_png_palette_decode():
     broken = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
               + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
     assert decode_png(broken) is None
+
+
+def test_png_16bit_decode():
+    """16-bit PNGs unfilter at byte granularity and downsample to the
+    high byte (filters 0 and 1 exercised)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from aisafetyintervention_literatureextraction_spark.operators.multimodal import (
+        decode_png,
+    )
+
+    rng = np.random.default_rng(61)
+    img16 = rng.integers(0, 65536, size=(5, 4, 3), dtype=np.uint16)
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    be = img16.byteswap().view(np.uint8).reshape(5, -1)  # big-endian rows
+    rows = []
+    for y in range(5):
+        if y % 2 == 0:
+            rows.append(b"\x00" + be[y].tobytes())
+        else:  # Sub filter at byte level, bpp = 6 bytes/pixel
+            raw = be[y].astype(np.int16)
+            filt = raw.copy()
+            filt[6:] = (raw[6:] - raw[:-6]) & 0xFF
+            rows.append(b"\x01" + filt.astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", 4, 5, 16, 2, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+           + chunk(b"IEND", b""))
+    got = decode_png(png)
+    np.testing.assert_array_equal(got, (img16 >> 8).astype(np.uint8))
