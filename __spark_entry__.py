@@ -702,6 +702,32 @@ def _ensure_raw_fixture() -> str:
     return str(d)
 
 
+_PDF_FIXTURE = "/tmp/kg_pdf_fixture_v1"
+
+
+def q_s1_pdf_docs(spark, sf_dir):
+    """S1 PDF half (operators/pdf.py): the reference's actual input
+    format (extract.py:65 ``glob("*.pdf")``) — binaryFile scan of a
+    PDF directory, stdlib xref/ObjStm walk + FlateDecode + Tj/TJ text
+    assembly via Arrow-batched mapInPandas. Oracle: DuckDB read_blob
+    over the writer's pre-extracted sidecar text (the PDF reader must
+    reconstruct the source text byte-for-byte to hash-match)."""
+    from aisafetyintervention_literatureextraction_spark.operators.pdf import (
+        decode_pdf_text,
+    )
+    from aisafetyintervention_literatureextraction_spark.pdfgen import (
+        ensure_pdf_fixture,
+    )
+
+    d = ensure_pdf_fixture(_PDF_FIXTURE)
+    docs = decode_pdf_text(read_raw_files(spark, d, glob="*.pdf"))
+    return docs.select(
+        F.col("conv_id").alias("doc_id"),
+        "doc_text",
+        F.length("doc_text").cast("int").alias("n_chars"),
+    )
+
+
 def q_s1_raw_files(spark, sf_dir):
     """S1 raw-file half (sources/raw_files.py): binaryFile directory
     scan with glob pushdown and stem ids (C2) — the reference's PDF-dir
@@ -767,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pipeline_triples": q_kg_pipeline_triples,
         "kg_mention_spans": q_kg_mention_spans,
         "s1_raw_files": q_s1_raw_files,
+        "s1_pdf_docs": q_s1_pdf_docs,
     }
 
 
@@ -1187,5 +1214,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(content) AS INTEGER) AS n_bytes,
                    substr(decode(content), 1, 20) AS head
             FROM read_blob('{_RAW_FIXTURE}/*.txt')
+        """,
+        "s1_pdf_docs": f"""
+            SELECT parse_filename(filename, true) AS doc_id,
+                   decode(content) AS doc_text,
+                   CAST(length(decode(content)) AS INTEGER) AS n_chars
+            FROM read_blob('{_PDF_FIXTURE}/expected/*.txt')
         """,
     }

@@ -1,0 +1,647 @@
+"""Pure-stdlib PDF text extraction — the reference's actual input format.
+
+The reference's unit of input is a PDF file: extract.py:65 globs
+``*.pdf`` and extract.py:33-35 passes the raw bytes to the LLM whole,
+so the engine's S1 raw-file path (sources/raw_files.py) must turn a
+directory of PDFs into ``(conv_id, doc_text)`` documents before the
+extraction operators can run.  No PDF library ships in this container,
+so — same discipline as operators/jpeg.py — the parser below is
+stdlib-only (``re`` + ``zlib``):
+
+- **xref walk**: classic ``xref`` tables and PDF 1.5 cross-reference
+  *streams* (``/Type /XRef``, ``/W`` field widths, PNG predictors
+  10-15), following ``/Prev`` chains across incremental updates with
+  first-seen-wins entry precedence; a brute-force ``N G obj`` scan is
+  the fallback for files with a damaged trailer.
+- **object streams**: type-2 xref entries resolve through
+  ``/Type /ObjStm`` containers (``/N`` pairs + ``/First`` offset).
+- **filters**: FlateDecode (zlib, with PNG Up/Sub/Average/Paeth
+  row predictors) and ASCIIHexDecode.
+- **text operators**: page-tree walk (``/Root → /Pages → /Kids``),
+  per-page ``/Contents`` concatenation, then a content-stream scan of
+  ``BT``/``ET`` text objects handling ``Tj``, ``TJ`` (kern-aware:
+  a move ≤ -180/1000 em reads as a word space), ``'``, ``\"``,
+  and the line-move operators ``Td``/``TD``/``T*``/``Tm`` (a line
+  move between shows emits a newline).  Literal strings decode the
+  full escape set (``\\n \\r \\t \\b \\f \\( \\) \\\\``, octal
+  ``\\ddd``, line continuations); hex strings pair nibbles; a
+  UTF-16BE BOM switches the byte decode, else PDFDocEncoding is
+  approximated as Latin-1.
+
+Spark integration is the multimodal batch-shape contract: Arrow-batched
+``mapInPandas`` over the ``binaryFile`` scan's ``content`` column —
+per-file decode parallelizes across executors and undecodable files
+quarantine as null text instead of aborting the batch.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)")
+_OBJ_RE = re.compile(rb"(?<![0-9])(\d+)\s+(\d+)\s+obj\b")
+
+
+class Name(str):
+    """A PDF name token (``/Foo``) — distinct from string values."""
+
+
+class Ref:
+    __slots__ = ("num", "gen")
+
+    def __init__(self, num: int, gen: int):
+        self.num, self.gen = num, gen
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        return f"{self.num} {self.gen} R"
+
+
+class _Stream:
+    """An indirect object carrying a raw stream body."""
+
+    __slots__ = ("dict", "raw")
+
+    def __init__(self, d: dict, raw: bytes):
+        self.dict, self.raw = d, raw
+
+
+def _skip_ws(buf: bytes, i: int) -> int:
+    n = len(buf)
+    while i < n:
+        c = buf[i]
+        if c in _WS:
+            i += 1
+        elif c == 0x25:  # '%' comment to EOL
+            j = buf.find(b"\n", i)
+            i = n if j < 0 else j + 1
+        else:
+            break
+    return i
+
+
+def _parse_lit_string(buf: bytes, i: int) -> tuple[bytes, int]:
+    # buf[i] == '('
+    i += 1
+    depth = 1
+    out = bytearray()
+    esc = {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12,
+           0x28: 0x28, 0x29: 0x29, 0x5C: 0x5C}
+    n = len(buf)
+    while i < n:
+        c = buf[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            c = buf[i]
+            if c in esc:
+                out.append(esc[c])
+                i += 1
+            elif 0x30 <= c <= 0x37:  # up to 3 octal digits
+                val = 0
+                for _ in range(3):
+                    if i < n and 0x30 <= buf[i] <= 0x37:
+                        val = val * 8 + (buf[i] - 0x30)
+                        i += 1
+                    else:
+                        break
+                out.append(val & 0xFF)
+            elif c == 0x0D:  # line continuation \<CR>[<LF>]
+                i += 1
+                if i < n and buf[i] == 0x0A:
+                    i += 1
+            elif c == 0x0A:
+                i += 1
+            else:  # unknown escape: char stands for itself
+                out.append(c)
+                i += 1
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+            i += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return bytes(out), i + 1
+            out.append(c)
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return bytes(out), i
+
+
+def _parse_hex_string(buf: bytes, i: int) -> tuple[bytes, int]:
+    # buf[i] == '<' (and buf[i+1] != '<')
+    j = buf.index(b">", i)
+    hx = re.sub(rb"[^0-9A-Fa-f]", b"", buf[i + 1:j])
+    if len(hx) % 2:
+        hx += b"0"
+    return bytes.fromhex(hx.decode("ascii")), j + 1
+
+
+def _parse_name(buf: bytes, i: int) -> tuple[Name, int]:
+    # buf[i] == '/'
+    i += 1
+    j = i
+    n = len(buf)
+    while j < n and buf[j] not in _WS and buf[j] not in _DELIM:
+        j += 1
+    raw = buf[i:j]
+    # '#hh' hex escapes inside names
+    raw = re.sub(rb"#([0-9A-Fa-f]{2})",
+                 lambda m: bytes([int(m.group(1), 16)]), raw)
+    return Name(raw.decode("latin-1")), j
+
+
+def _parse_object(buf: bytes, i: int):
+    """Recursive-descent parse of one PDF object at ``i``.
+    Returns (value, next_index)."""
+    i = _skip_ws(buf, i)
+    c = buf[i:i + 1]
+    if c == b"<":
+        if buf[i:i + 2] == b"<<":
+            d: dict = {}
+            i += 2
+            while True:
+                i = _skip_ws(buf, i)
+                if buf[i:i + 2] == b">>":
+                    return d, i + 2
+                key, i = _parse_name(buf, i)
+                val, i = _parse_object(buf, i)
+                d[str(key)] = val
+        return _parse_hex_string(buf, i)
+    if c == b"(":
+        return _parse_lit_string(buf, i)
+    if c == b"/":
+        return _parse_name(buf, i)
+    if c == b"[":
+        arr = []
+        i += 1
+        while True:
+            i = _skip_ws(buf, i)
+            if buf[i:i + 1] == b"]":
+                return arr, i + 1
+            val, i = _parse_object(buf, i)
+            arr.append(val)
+    if buf[i:i + 4] == b"true":
+        return True, i + 4
+    if buf[i:i + 5] == b"false":
+        return False, i + 5
+    if buf[i:i + 4] == b"null":
+        return None, i + 4
+    m = _NUM_RE.match(buf, i)
+    if m:
+        tok = m.group(0)
+        i = m.end()
+        if b"." in tok:
+            return float(tok), i
+        num = int(tok)
+        # lookahead for 'G R' indirect reference
+        j = _skip_ws(buf, i)
+        m2 = _NUM_RE.match(buf, j)
+        if m2 and b"." not in m2.group(0):
+            k = _skip_ws(buf, m2.end())
+            if buf[k:k + 1] == b"R" and (
+                k + 1 >= len(buf)
+                or buf[k + 1] in _WS
+                or buf[k + 1] in _DELIM
+            ):
+                return Ref(num, int(m2.group(0))), k + 1
+        return num, i
+    raise ValueError(f"pdf: unparseable object at byte {i}")
+
+
+def _png_unpredict(data: bytes, columns: int, colors: int = 1,
+                   bpc: int = 8) -> bytes:
+    """Undo PNG row predictors (Predictor >= 10) on a decoded stream —
+    same per-row filter dispatch as the PNG decoder in multimodal.py."""
+    bpp = max(1, (colors * bpc) // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    out = bytearray()
+    prev = bytearray(rowlen)
+    i = 0
+    while i + 1 <= len(data) - rowlen:
+        ft = data[i]
+        row = bytearray(data[i + 1:i + 1 + rowlen])
+        i += 1 + rowlen
+        if ft == 1:  # Sub
+            for k in range(bpp, rowlen):
+                row[k] = (row[k] + row[k - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for k in range(rowlen):
+                row[k] = (row[k] + prev[k]) & 0xFF
+        elif ft == 3:  # Average
+            for k in range(rowlen):
+                left = row[k - bpp] if k >= bpp else 0
+                row[k] = (row[k] + (left + prev[k]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for k in range(rowlen):
+                a = row[k - bpp] if k >= bpp else 0
+                b = prev[k]
+                cc = prev[k - bpp] if k >= bpp else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                row[k] = (row[k] + pred) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
+
+
+class PdfDocument:
+    """One parsed PDF: xref/object-stream walk + lazy object cache."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.xref: dict[int, tuple[str, int, int]] = {}
+        self.trailer: dict = {}
+        self._cache: dict[int, object] = {}
+        try:
+            self._load_xref()
+        except Exception:
+            self.xref.clear()
+        if not self.xref or "Root" not in self.trailer:
+            self._brute_scan()
+
+    # -- xref ---------------------------------------------------------
+    def _load_xref(self) -> None:
+        data = self.data
+        tail = data.rfind(b"startxref")
+        if tail < 0:
+            raise ValueError("no startxref")
+        m = _NUM_RE.search(data, tail + 9)
+        if not m:
+            raise ValueError("bad startxref")
+        offset: Optional[int] = int(m.group(0))
+        seen: set[int] = set()
+        while offset is not None and offset not in seen:
+            seen.add(offset)
+            i = _skip_ws(data, offset)
+            if data[i:i + 4] == b"xref":
+                offset = self._load_xref_table(i + 4)
+            else:
+                offset = self._load_xref_stream(i)
+
+    def _set(self, num: int, entry: tuple[str, int, int]) -> None:
+        # first-seen wins: the newest xref section is walked first
+        if num not in self.xref:
+            self.xref[num] = entry
+
+    def _load_xref_table(self, i: int) -> Optional[int]:
+        data = self.data
+        while True:
+            i = _skip_ws(data, i)
+            if data[i:i + 7] == b"trailer":
+                tr, i = _parse_object(data, i + 7)
+                for k, v in tr.items():
+                    self.trailer.setdefault(k, v)
+                if "XRefStm" in tr:  # hybrid-reference file
+                    self._load_xref_stream(int(tr["XRefStm"]))
+                prev = tr.get("Prev")
+                return int(prev) if prev is not None else None
+            m = re.match(rb"(\d+)\s+(\d+)", data[i:i + 40])
+            if not m:
+                raise ValueError("bad xref subsection")
+            start, count = int(m.group(1)), int(m.group(2))
+            i = _skip_ws(data, i + m.end())
+            for k in range(count):
+                ent = data[i:i + 20]
+                if ent[17:18] == b"n":
+                    self._set(start + k, ("o", int(ent[0:10]), 0))
+                i += 20
+
+    def _load_xref_stream(self, i: int) -> Optional[int]:
+        obj = self._parse_at(i)
+        if not isinstance(obj, _Stream) or obj.dict.get("Type") != "XRef":
+            raise ValueError("expected xref stream")
+        body = self._decode_stream(obj)
+        w = [int(x) for x in obj.dict["W"]]
+        size = int(obj.dict["Size"])
+        index = obj.dict.get("Index", [0, size])
+        rowlen = sum(w)
+        pos = 0
+        for s in range(0, len(index), 2):
+            start, count = int(index[s]), int(index[s + 1])
+            for k in range(count):
+                row = body[pos:pos + rowlen]
+                pos += rowlen
+                fields = []
+                off = 0
+                for width in w:
+                    fields.append(
+                        int.from_bytes(row[off:off + width], "big")
+                        if width else None)
+                    off += width
+                typ = fields[0] if w[0] else 1
+                if typ == 1:
+                    self._set(start + k, ("o", fields[1], 0))
+                elif typ == 2:
+                    self._set(start + k, ("c", fields[1], fields[2]))
+        for key, v in obj.dict.items():
+            if key not in ("W", "Index", "Type", "Length", "Filter",
+                           "DecodeParms"):
+                self.trailer.setdefault(key, v)
+        prev = obj.dict.get("Prev")
+        return int(prev) if prev is not None else None
+
+    def _brute_scan(self) -> None:
+        """Fallback: every ``N G obj`` in file order; later definitions
+        (incremental updates) override earlier ones."""
+        self.xref.clear()
+        self._cache.clear()
+        for m in _OBJ_RE.finditer(self.data):
+            self.xref[int(m.group(1))] = ("o", m.start(1), 0)
+        if "Root" not in self.trailer:
+            t = self.data.rfind(b"trailer")
+            if t >= 0:
+                try:
+                    tr, _ = _parse_object(self.data, t + 7)
+                    self.trailer.update(tr)
+                except Exception:
+                    pass
+        if "Root" not in self.trailer:
+            for num in list(self.xref):
+                obj = self.get(num)
+                d = obj.dict if isinstance(obj, _Stream) else obj
+                if isinstance(d, dict) and d.get("Type") == "Catalog":
+                    self.trailer["Root"] = Ref(num, 0)
+                    break
+
+    # -- objects ------------------------------------------------------
+    def _parse_at(self, i: int):
+        data = self.data
+        i = _skip_ws(data, i)
+        m = re.match(rb"(\d+)\s+(\d+)\s+obj", data[i:i + 40])
+        if not m:
+            raise ValueError(f"pdf: no object header at byte {i}")
+        val, j = _parse_object(data, i + m.end())
+        j = _skip_ws(data, j)
+        if isinstance(val, dict) and data[j:j + 6] == b"stream":
+            j += 6
+            if data[j:j + 2] == b"\r\n":
+                j += 2
+            elif data[j:j + 1] in (b"\n", b"\r"):
+                j += 1
+            length = self.resolve(val.get("Length"))
+            if isinstance(length, int):
+                raw = data[j:j + length]
+            else:  # damaged /Length: scan for endstream
+                end = data.index(b"endstream", j)
+                raw = data[j:end].rstrip(b"\r\n")
+            return _Stream(val, raw)
+        return val
+
+    def get(self, num: int):
+        if num in self._cache:
+            return self._cache[num]
+        ent = self.xref.get(num)
+        if ent is None:
+            return None
+        self._cache[num] = None  # cycle guard
+        if ent[0] == "o":
+            val = self._parse_at(ent[1])
+        else:  # 'c': inside object stream ent[1], index ent[2]
+            val = self._from_objstm(ent[1], ent[2], num)
+        self._cache[num] = val
+        return val
+
+    def _from_objstm(self, stm_num: int, idx: int, want: int):
+        stm = self.get(stm_num)
+        if not isinstance(stm, _Stream) or stm.dict.get("Type") != "ObjStm":
+            raise ValueError("bad ObjStm reference")
+        body = self._decode_stream(stm)
+        n = int(self.resolve(stm.dict["N"]))
+        first = int(self.resolve(stm.dict["First"]))
+        pairs = []
+        i = 0
+        for _ in range(n):
+            m1 = _NUM_RE.match(body, _skip_ws(body, i))
+            m2 = _NUM_RE.match(body, _skip_ws(body, m1.end()))
+            pairs.append((int(m1.group(0)), int(m2.group(0))))
+            i = m2.end()
+        num, off = pairs[idx]
+        if num != want:  # index mismatch: search by object number
+            off = next(o for (nn, o) in pairs if nn == want)
+        val, _ = _parse_object(body, first + off)
+        return val
+
+    def resolve(self, obj, depth: int = 0):
+        while isinstance(obj, Ref) and depth < 32:
+            obj = self.get(obj.num)
+            depth += 1
+        return obj
+
+    # -- streams ------------------------------------------------------
+    def _decode_stream(self, stm: _Stream) -> bytes:
+        data = stm.raw
+        filters = self.resolve(stm.dict.get("Filter"))
+        if filters is None:
+            return data
+        if not isinstance(filters, list):
+            filters = [filters]
+        parms = self.resolve(stm.dict.get("DecodeParms"))
+        if not isinstance(parms, list):
+            parms = [parms] * len(filters)
+        for filt, pp in zip(filters, parms):
+            name = str(filt)
+            if name == "FlateDecode":
+                data = zlib.decompress(data)
+            elif name == "ASCIIHexDecode":
+                hx = re.sub(rb"[^0-9A-Fa-f]", b"",
+                            data.split(b">")[0])
+                if len(hx) % 2:
+                    hx += b"0"
+                data = bytes.fromhex(hx.decode("ascii"))
+            else:
+                raise ValueError(f"pdf: unsupported filter {name}")
+            pp = self.resolve(pp)
+            if isinstance(pp, dict):
+                pred = int(self.resolve(pp.get("Predictor", 1)) or 1)
+                if pred >= 10:
+                    data = _png_unpredict(
+                        data,
+                        int(self.resolve(pp.get("Columns", 1))),
+                        int(self.resolve(pp.get("Colors", 1))),
+                        int(self.resolve(pp.get("BitsPerComponent", 8))),
+                    )
+        return data
+
+    # -- pages --------------------------------------------------------
+    def pages(self) -> list[dict]:
+        root = self.resolve(self.trailer.get("Root"))
+        if not isinstance(root, dict):
+            return []
+        out: list[dict] = []
+
+        def walk(node, depth=0):
+            node = self.resolve(node)
+            if isinstance(node, _Stream):
+                node = node.dict
+            if not isinstance(node, dict) or depth > 64:
+                return
+            if node.get("Type") == "Page":
+                out.append(node)
+            else:
+                for kid in self.resolve(node.get("Kids")) or []:
+                    walk(kid, depth + 1)
+
+        walk(root.get("Pages"))
+        return out
+
+    def page_content(self, page: dict) -> bytes:
+        contents = self.resolve(page.get("Contents"))
+        if contents is None:
+            return b""
+        if not isinstance(contents, list):
+            contents = [contents]
+        parts = []
+        for c in contents:
+            c = self.resolve(c)
+            if isinstance(c, _Stream):
+                parts.append(self._decode_stream(c))
+        return b"\n".join(parts)
+
+
+# ---------------------------------------------------------------------
+# content-stream text assembly
+# ---------------------------------------------------------------------
+
+def _pdf_text(b: bytes) -> str:
+    if b[:2] == b"\xfe\xff":
+        return b[2:].decode("utf-16-be", "replace")
+    return b.decode("latin-1")
+
+
+_LINE_OPS = frozenset((b"Td", b"TD", b"T*", b"Tm", b"BT"))
+_KERN_SPACE = -180  # thousandths of an em; larger negative kern = word gap
+
+
+def _content_text(content: bytes) -> str:
+    out: list[str] = []
+    operands: list = []
+    pending_nl = False
+    shown = False
+    n = len(content)
+    i = 0
+
+    def show(txt: str) -> None:
+        nonlocal pending_nl, shown
+        if not txt:
+            return
+        if shown and pending_nl:
+            out.append("\n")
+        out.append(txt)
+        shown = True
+        pending_nl = False
+
+    while i < n:
+        i = _skip_ws(content, i)
+        if i >= n:
+            break
+        c = content[i]
+        if c in b"(<[/" or c in b"+-." or 0x30 <= c <= 0x39:
+            try:
+                val, i = _parse_object(content, i)
+            except Exception:
+                i += 1
+                continue
+            operands.append(val)
+            continue
+        j = i
+        while j < n and content[j] not in _WS and content[j] not in _DELIM:
+            j += 1
+        op = content[i:j]
+        i = j if j > i else i + 1
+        if op == b"Tj" and operands and isinstance(operands[-1], bytes):
+            show(_pdf_text(operands[-1]))
+        elif op == b"TJ" and operands and isinstance(operands[-1], list):
+            buf = []
+            for el in operands[-1]:
+                if isinstance(el, bytes):
+                    buf.append(_pdf_text(el))
+                elif isinstance(el, (int, float)) and el <= _KERN_SPACE:
+                    buf.append(" ")
+            show("".join(buf))
+        elif op in (b"'", b'"'):
+            pending_nl = True
+            if operands and isinstance(operands[-1], bytes):
+                show(_pdf_text(operands[-1]))
+        elif op in _LINE_OPS:
+            if op in (b"Td", b"TD"):
+                # only a vertical move is a new line
+                ty = operands[-1] if operands else 0
+                if isinstance(ty, (int, float)) and ty != 0:
+                    pending_nl = True
+            else:
+                pending_nl = True
+        elif op == b"BI":  # inline image: skip to EI
+            k = content.find(b"EI", i)
+            i = n if k < 0 else k + 2
+        operands = []
+    return "".join(out)
+
+
+def extract_pdf_text(data: bytes) -> str:
+    """PDF bytes → extracted text; pages joined with newlines."""
+    doc = PdfDocument(data)
+    pages = doc.pages()
+    texts = [_content_text(doc.page_content(p)) for p in pages]
+    return "\n".join(t for t in texts)
+
+
+def pdf_page_count(data: bytes) -> int:
+    return len(PdfDocument(data).pages())
+
+
+# ---------------------------------------------------------------------
+# Spark integration
+# ---------------------------------------------------------------------
+
+PDF_DOC_SCHEMA = StructType([
+    StructField("conv_id", StringType(), False),
+    StructField("doc_text", StringType(), True),
+    StructField("n_pages", IntegerType(), True),
+])
+
+
+def decode_pdf_text(files: DataFrame) -> DataFrame:
+    """(doc_id, content) binaryFile rows → (conv_id, doc_text, n_pages)
+    via Arrow-batched ``mapInPandas``; per-file decode runs where the
+    bytes already are (no shuffle — the scan's file splits are the
+    parallelism), and an undecodable file yields null text instead of
+    failing the stage (quarantine-style, as in multimodal decode)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts: list[Optional[str]] = []
+            npages: list[Optional[int]] = []
+            for blob in pdf["content"]:
+                try:
+                    doc = PdfDocument(bytes(blob))
+                    pages = doc.pages()
+                    texts.append("\n".join(
+                        _content_text(doc.page_content(p)) for p in pages))
+                    npages.append(len(pages))
+                except Exception:
+                    texts.append(None)
+                    npages.append(None)
+            yield pd.DataFrame({
+                "conv_id": pdf["doc_id"].astype(str),
+                "doc_text": pd.array(texts, dtype="string"),
+                "n_pages": pd.array(npages, dtype="Int32"),
+            })
+
+    return files.select("doc_id", "content").mapInPandas(
+        run, PDF_DOC_SCHEMA)

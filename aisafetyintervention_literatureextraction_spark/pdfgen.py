@@ -1,0 +1,240 @@
+"""Deterministic PDF fixture writer (stdlib-only) for the PDF-ingest
+path (operators/pdf.py).
+
+The reference corpus is a directory of PDFs (reference extract.py:65
+``glob("*.pdf")``); no PDF library ships in this container, so tests
+and the ``s1_pdf_docs`` oracle need a writer that emits real spec-shaped
+files covering the features the reader claims: classic xref tables,
+PDF 1.5 cross-reference *streams* with PNG predictors, ``/Type
+/ObjStm`` object streams, FlateDecode, literal/hex strings with the
+full escape set, ``Tj``/``TJ``-with-kerning/``'`` show operators, and
+multi-page page trees.  ``ensure_pdf_fixture`` writes each PDF next to
+an ``expected/*.txt`` sidecar holding the exact text the reader must
+reconstruct — the DuckDB oracle reads the sidecars, the Spark query
+reads the PDFs, and the hash compare closes the loop.
+
+Every byte is a pure function of the doc index — no timestamps, no
+randomness — so Spark and DuckDB see identical fixtures at every SF.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import zlib
+
+
+def _encode(text: str) -> bytes:
+    """PDF string bytes: Latin-1 when it fits, else UTF-16BE with BOM
+    (the reader dispatches on the BOM)."""
+    try:
+        return text.encode("latin-1")
+    except UnicodeEncodeError:
+        return b"\xfe\xff" + text.encode("utf-16-be")
+
+
+def _esc_lit(text: str) -> bytes:
+    """Escape a literal PDF string: backslash, parens, and control
+    chars as octal (exercises the reader's ``\\ddd`` path)."""
+    out = bytearray()
+    for b in _encode(text):
+        if b in (0x5C, 0x28, 0x29):
+            out += b"\\" + bytes([b])
+        elif b < 32:
+            out += b"\\%03o" % b
+        else:
+            out.append(b)
+    return bytes(out)
+
+
+def _line_ops(lines: list[str], mode: str) -> bytes:
+    """One page's text operators for the given show-operator mode."""
+    ops = [b"BT", b"/F1 12 Tf", b"14 TL", b"72 720 Td"]
+    if mode == "quote":
+        ops.append(b"(" + _esc_lit(lines[0]) + b") Tj")
+        for ln in lines[1:]:
+            ops.append(b"(" + _esc_lit(ln) + b") '")
+    else:
+        for k, ln in enumerate(lines):
+            if k > 0:
+                ops.append(b"0 -14 Td")
+            if mode == "hex":
+                ops.append(b"<" + _encode(ln).hex().encode() + b"> Tj")
+            elif mode == "tjarr":
+                # words separated by a -250 kern (reads as a space);
+                # the first word split mid-word by a -60 kern (no space)
+                words = ln.split(" ")
+                frags: list[bytes] = []
+                w0 = words[0]
+                if len(w0) > 2:
+                    frags += [b"(" + _esc_lit(w0[:2]) + b")", b"-60",
+                              b"(" + _esc_lit(w0[2:]) + b")"]
+                else:
+                    frags.append(b"(" + _esc_lit(w0) + b")")
+                for w in words[1:]:
+                    frags += [b"-250", b"(" + _esc_lit(w) + b")"]
+                ops.append(b"[" + b" ".join(frags) + b"] TJ")
+            else:
+                ops.append(b"(" + _esc_lit(ln) + b") Tj")
+    ops.append(b"ET")
+    return b"\n".join(ops)
+
+
+def build_pdf(pages: list[list[str]], *, mode: str = "tj",
+              flate: bool = False, xref_stream: bool = False) -> bytes:
+    """Serialize a complete PDF showing ``pages`` (lists of text lines).
+
+    ``xref_stream=True`` emits a PDF 1.5 file: the dict objects live in
+    a ``/Type /ObjStm`` container indexed by a cross-reference stream
+    (``/W [1 4 2]``, FlateDecode + PNG Predictor 12); otherwise a
+    classic ``xref`` table + ``trailer`` is written.
+    """
+    n_pages = len(pages)
+    # object numbers: 1 catalog, 2 pages, 3 font, then per page
+    # (4+2i page dict, 5+2i content stream)
+    page_nums = [4 + 2 * i for i in range(n_pages)]
+    content_nums = [5 + 2 * i for i in range(n_pages)]
+    kids = b"[" + b" ".join(b"%d 0 R" % p for p in page_nums) + b"]"
+    dict_objs: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids " + kids + b" /Count %d >>" % n_pages,
+        3: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    for i, pn in enumerate(page_nums):
+        dict_objs[pn] = (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> "
+            b"/Contents %d 0 R >>" % content_nums[i])
+    streams: dict[int, tuple[bytes, bytes]] = {}  # num -> (dict, body)
+    for i, cn in enumerate(content_nums):
+        body = _line_ops(pages[i], mode)
+        if flate:
+            body = zlib.compress(body)
+            streams[cn] = (
+                b"<< /Length %d /Filter /FlateDecode >>" % len(body), body)
+        else:
+            streams[cn] = (b"<< /Length %d >>" % len(body), body)
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n" if xref_stream
+                    else b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+
+    def emit(num: int, payload: bytes) -> None:
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num + payload + b"\nendobj\n")
+
+    def emit_stream(num: int, d: bytes, body: bytes) -> None:
+        emit(num, d + b"\nstream\n" + body + b"\nendstream")
+
+    if not xref_stream:
+        for num in sorted(dict_objs):
+            emit(num, dict_objs[num])
+        for num in sorted(streams):
+            emit_stream(num, *streams[num])
+        max_num = max(offsets) + 1
+        xref_off = len(out)
+        out.extend(b"xref\n0 %d\n" % max_num)
+        out.extend(b"0000000000 65535 f \n")
+        for num in range(1, max_num):
+            out.extend(b"%010d 00000 n \n" % offsets[num])
+        out.extend(
+            b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (max_num, xref_off))
+        return bytes(out)
+
+    # -- PDF 1.5: object stream + cross-reference stream ---------------
+    for num in sorted(streams):
+        emit_stream(num, *streams[num])
+    stm_nums = sorted(dict_objs)  # objects packed into the ObjStm
+    header = bytearray()
+    bodies = bytearray()
+    for num in stm_nums:
+        header += b"%d %d " % (num, len(bodies))
+        bodies += dict_objs[num] + b"\n"
+    objstm_num = max(streams) + 1
+    xref_num = objstm_num + 1
+    objstm_body = zlib.compress(bytes(header) + bytes(bodies))
+    emit_stream(
+        objstm_num,
+        b"<< /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode >>"
+        % (len(stm_nums), len(header), len(objstm_body)),
+        objstm_body)
+    # xref rows: W=[1,4,2] (type, offset/objstm, gen/index)
+    size = xref_num + 1
+    xref_off = len(out)
+    offsets[xref_num] = xref_off
+    rows = bytearray()
+    for num in range(size):
+        if num == 0:
+            typ, f2, f3 = 0, 0, 65535
+        elif num in dict_objs:
+            typ, f2, f3 = 2, objstm_num, stm_nums.index(num)
+        else:
+            typ, f2, f3 = 1, offsets[num], 0
+        rows += bytes([typ]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+    # PNG Predictor 12: per-row filter byte (type 0 = passthrough)
+    rowlen = 7
+    predicted = bytearray()
+    for r in range(0, len(rows), rowlen):
+        predicted += b"\x00" + rows[r:r + rowlen]
+    xref_body = zlib.compress(bytes(predicted))
+    emit_stream(
+        xref_num,
+        b"<< /Type /XRef /Size %d /Root 1 0 R /W [1 4 2] /Index [0 %d] "
+        b"/Filter /FlateDecode "
+        b"/DecodeParms << /Predictor 12 /Columns 7 >> /Length %d >>"
+        % (size, size, len(xref_body)),
+        xref_body)
+    out.extend(b"startxref\n%d\n%%%%EOF\n" % xref_off)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------
+# fixture corpus
+# ---------------------------------------------------------------------
+
+_MODES = ("tj", "tjarr", "quote", "hex")
+
+
+def doc_pages(i: int) -> list[list[str]]:
+    """Deterministic text for fixture doc ``i`` — exercises parens,
+    backslashes, control-char octal escapes, and Latin-1 bytes."""
+    lines = [
+        f"Paper {i}: intervention (RLHF v{i % 3}) improves safety",
+        f"metrics[{i}] = {i * 3 + 1}; jaccard > 0.5 \\ baseline",
+        f"Evaluación número {i} — café",
+        f"tab\tseparated\tfields {i}",
+        f"links [node {i}] and [concept {i % 4}] directly",
+    ]
+    if i % 5 == 0:  # multi-page docs
+        return [lines[:2], lines[2:] + [f"appendix page for doc {i}"]]
+    return [lines]
+
+
+def expected_text(i: int) -> str:
+    return "\n".join("\n".join(pg) for pg in doc_pages(i))
+
+
+def build_doc(i: int) -> bytes:
+    return build_pdf(
+        doc_pages(i),
+        mode=_MODES[i % len(_MODES)],
+        flate=(i % 2 == 1),
+        xref_stream=(i % 3 == 0),
+    )
+
+
+def ensure_pdf_fixture(dirpath: str, n_docs: int = 16) -> str:
+    """Write ``doc_###.pdf`` + ``expected/doc_###.txt`` pairs; content
+    is a pure function of the index so repeated calls are no-ops."""
+    d = pathlib.Path(dirpath)
+    (d / "expected").mkdir(parents=True, exist_ok=True)
+    for i in range(n_docs):
+        pdf = d / f"doc_{i:03d}.pdf"
+        data = build_doc(i)
+        if not pdf.exists() or pdf.read_bytes() != data:
+            pdf.write_bytes(data)
+        txt = d / "expected" / f"doc_{i:03d}.txt"
+        body = expected_text(i)
+        if not txt.exists() or txt.read_text(encoding="utf-8") != body:
+            txt.write_text(body, encoding="utf-8")
+    return str(d)
