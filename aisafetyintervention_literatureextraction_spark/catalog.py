@@ -58,6 +58,36 @@ def bucket_expr(keys: list[str], n_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
 
 
+def lww_combiner(keys: list[str], cols: list[str], order_col: str | None):
+    """The last-writer-wins merge fold shared by BOTH backends
+    (manifest and Iceberg): reduce rows sharing ``keys`` to the single
+    row with max ``(__gen, order_col)`` — update rows carry
+    ``__gen=1`` so they beat base rows even on order ties, base rows
+    coalesce to ``__gen=0`` via the allowMissingColumns union. A
+    semigroup fold (idempotent on already-combined rows), as
+    ``merge_combine`` requires. ``cols`` is the update frame's column
+    list WITHOUT ``__gen``; the fold's output drops ``__gen``."""
+
+    def lww(df: DataFrame) -> DataFrame:
+        order_expr = (
+            F.struct(F.coalesce(F.col("__gen"), F.lit(0)).alias("g"), F.col(order_col))
+            if order_col
+            else F.struct(F.coalesce(F.col("__gen"), F.lit(0)).alias("g"))
+        )
+        return (
+            df.groupBy(*keys)
+            .agg(
+                F.max_by(
+                    F.struct(*[F.col(c) for c in cols if c not in keys]),
+                    order_expr,
+                ).alias("__row")
+            )
+            .select(*keys, "__row.*")
+        )
+
+    return lww
+
+
 @dataclass
 class Catalog:
     spark: SparkSession
@@ -309,27 +339,13 @@ class Catalog:
         # tag updates so they beat base rows even on order ties (base
         # rows get null __gen via the allowMissingColumns union)
         ups = updates.withColumn("__gen", F.lit(1))
-        cols = updates.columns
-
-        def lww(df: DataFrame) -> DataFrame:
-            order_expr = (
-                F.struct(F.coalesce(F.col("__gen"), F.lit(0)).alias("g"), F.col(order_col))
-                if order_col
-                else F.struct(F.coalesce(F.col("__gen"), F.lit(0)).alias("g"))
-            )
-            return (
-                df.groupBy(*keys)
-                .agg(
-                    F.max_by(
-                        F.struct(*[F.col(c) for c in cols if c not in keys]),
-                        order_expr,
-                    ).alias("__row")
-                )
-                .select(*keys, "__row.*")
-            )
-
         return self.merge_combine(
-            ups, name, keys, lww, n_buckets=n_buckets, run_id=run_id
+            ups,
+            name,
+            keys,
+            lww_combiner(keys, updates.columns, order_col),
+            n_buckets=n_buckets,
+            run_id=run_id,
         )
 
     def merge_combine(
@@ -425,21 +441,33 @@ class Catalog:
         versions whose manifest run_id is uncommitted. Pointer-only —
         the orphan versions' data dirs stay on disk for vacuum.
         Returns the number of versions rolled back; if the table's very
-        first version is orphaned the table reverts to nonexistent."""
-        v = self.current_version(name)
-        if v is None:
+        first version is orphaned the table reverts to nonexistent.
+
+        Versions with NO run_id between (or above) orphan versions
+        belong to the same torn run — a mixed append+merge run tags its
+        merge versions but commits plain-append manifests without a
+        run_id — so they roll back WITH the orphans rather than
+        stopping the walk; a run_id-less suffix with no orphan beneath
+        it is kept (appends heal at entry level via
+        ``prune_orphan_runs``)."""
+        top = self.current_version(name)
+        if top is None:
             return 0
-        rolled = 0
+        keep = top
+        v = top
         while v >= 0:
-            m = self._manifest(name, v)
-            rid = m.get("run_id")
-            if rid is not None and rid not in committed_run_ids:
-                rolled += 1
+            rid = self._manifest(name, v).get("run_id")
+            if rid is None:
+                v -= 1  # tentative: orphan only if an orphan lies below
+            elif rid not in committed_run_ids:
                 v -= 1
+                keep = v  # this version and every no-run_id one above go
             else:
                 break
+        rolled = top - keep
         if rolled == 0:
             return 0
+        v = keep
         if v < 0:
             os.remove(self._latest_file(name))
         else:

@@ -11,17 +11,43 @@ Catalog (manifest)     IcebergCatalog (native)
 =====================  ============================================
 append                 ``df.writeTo(t).append()``
 overwrite              ``df.writeTo(t).createOrReplace()``
-merge_upsert           ``MERGE INTO … WHEN MATCHED UPDATE SET *``
-merge_combine          combine keys touched by updates, then MERGE
+merge_upsert           merge_combine with the shared LWW fold
+merge_combine          fold touched buckets, then ONE atomic
+                       ``writeTo(t).overwritePartitions()``
 read(version=v)        ``VERSION AS OF <snapshot>`` time travel
 rollback/prune orphan  ``CALL system.rollback_to_snapshot``
 bucketing              ``PARTITIONED BY (bucket(N, key))`` DDL
 =====================  ============================================
 
+Why ``overwritePartitions`` and not ``MERGE INTO`` (round-3 advice,
+all three findings): (a) a MERGE source built as base ∪ updates holds
+two rows per existing key, tripping Iceberg's merge cardinality check;
+(b) ``WHEN MATCHED UPDATE SET *`` updates duplicate target rows
+in place instead of folding them, so a plain append of an existing key
+(the raw-log contract) never collapses; and (c) SQL MERGE commits take
+no writer options, so the snapshot gets no ``run_id`` and the
+exactly-once rollback walk breaks on it. Dynamic partition overwrite
+is the native twin of the manifest catalog's bucket rewrite: compute
+``combiner(base-rows-of-touched-buckets ∪ updates)`` and atomically
+replace exactly those ``bucket(N, key)`` partitions in ONE snapshot —
+O(touched buckets), no cardinality constraint, duplicate keys fold,
+and the commit goes through DataFrameWriterV2, which DOES carry
+``snapshot-property.run_id``.
+
+Raw appends on a merge-keyed table record their touched buckets in the
+``kg.uncombined-buckets`` table property (the manifest catalog's
+per-entry ``combined`` flag, table-level); the next merge folds those
+buckets too, then clears the property AFTER the data commit — a crash
+between the two re-folds them next time, which the semigroup-combiner
+contract makes a no-op. Merge keys + bucket count persist in
+``kg.merge-keys`` / ``kg.n-buckets`` so the bookkeeping survives
+session restarts.
+
 Snapshots are tagged with the writing ``run_id`` via Iceberg snapshot
 summary properties (``snapshot-property.run_id``), so exactly-once
 reconciliation works the same way: roll back past snapshots whose
-run_id never reached the checkpoint-state commit.
+run_id never reached the checkpoint-state commit; snapshots with NO
+run_id between orphans are treated as part of the torn run.
 
 Selection is automatic: :func:`make_catalog` returns an
 ``IcebergCatalog`` iff a Spark catalog with the Iceberg implementation
@@ -159,18 +185,74 @@ class IcebergCatalog:
         self._writer(df, name, run_id).createOrReplace()
         return self.current_version(name)
 
+    # -- merge-key bookkeeping (survives session restarts) --------------------
+    def _table_props(self, name: str) -> dict[str, str]:
+        rows = self.spark.sql(f"SHOW TBLPROPERTIES {self._fq(name)}").collect()
+        return {r["key"]: r["value"] for r in rows}
+
+    def _merge_meta(self, name: str) -> tuple[list[str], int] | None:
+        """(merge keys, n_buckets) for a merge-keyed table, from the
+        in-session cache or the ``kg.merge-keys`` table property."""
+        if name in self._bucketed:
+            return self._bucketed[name]
+        if not self.exists(name):
+            return None
+        props = self._table_props(name)
+        if "kg.merge-keys" not in props:
+            return None
+        meta = (
+            props["kg.merge-keys"].split(","),
+            int(props.get("kg.n-buckets", self.default_n_buckets)),
+        )
+        self._bucketed[name] = meta
+        return meta
+
+    def _bucket_col(self, name: str, keys: list[str], n_buckets: int):
+        """The Iceberg partition-transform value of a row: the
+        ``system.bucket`` SQL function (FunctionCatalog) is the same
+        murmur3 bucket the ``PARTITIONED BY (bucket(N, key))`` DDL
+        assigns, so filters on it prune partitions."""
+        return F.expr(
+            f"{self.catalog_name}.system.bucket({n_buckets}, {keys[0]})"
+        )
+
+    def _uncombined_buckets(self, name: str) -> set[int]:
+        raw = self._table_props(name).get("kg.uncombined-buckets", "")
+        return {int(b) for b in raw.split(",") if b != ""}
+
+    def _set_uncombined_buckets(self, name: str, buckets: set[int]) -> None:
+        val = ",".join(str(b) for b in sorted(buckets))
+        self.spark.sql(
+            f"ALTER TABLE {self._fq(name)} SET TBLPROPERTIES "
+            f"('kg.uncombined-buckets' = '{val}')"
+        )
+
     def append(self, df: DataFrame, name: str, run_id: str | None = None) -> int:
         self._ensure_namespace()
+        meta = self._merge_meta(name)
         if not self.exists(name):
-            keys = self._bucketed.get(name)
             w = self._writer(df, name, run_id)
-            if keys:
-                w = w.partitionedBy(
-                    F.bucket(self.default_n_buckets, F.col(keys[0]))
-                )
+            if meta:
+                w = w.partitionedBy(F.bucket(meta[1], F.col(meta[0][0])))
             w.create()
         else:
             self._writer(df, name, run_id).append()
+            if meta:
+                # raw append on a merge-keyed table: an UNCOMBINED log
+                # (may duplicate keys); record its buckets so the next
+                # merge folds them even if its own updates don't touch
+                # them (the manifest catalog's `combined` flag)
+                keys, n = meta
+                touched = {
+                    r[0]
+                    for r in df.select(
+                        self._bucket_col(name, keys, n).alias("b")
+                    ).distinct().collect()
+                    if r[0] is not None
+                }  # ≤ n_buckets small ints — not a data collect
+                self._set_uncombined_buckets(
+                    name, self._uncombined_buckets(name) | touched
+                )
         return self.current_version(name)
 
     def merge_upsert(
@@ -182,20 +264,22 @@ class IcebergCatalog:
         n_buckets: int = 32,
         run_id: str | None = None,
     ) -> int:
-        """Native ``MERGE INTO`` with last-writer-wins pre-dedup of the
-        update set (MERGE requires unique source keys)."""
-        from pyspark.sql import Window
+        """Last-writer-wins upsert: the SAME ``lww_combiner`` fold the
+        manifest catalog uses (``__gen=1`` update rows beat base rows
+        even on order ties; max ``order_col`` wins among duplicates),
+        applied through the bucket-rewrite merge below — so duplicate
+        source AND duplicate target keys both fold, with no MERGE
+        cardinality constraint."""
+        from .catalog import lww_combiner
 
-        w = Window.partitionBy(*keys).orderBy(
-            *( [F.desc(order_col)] if order_col else [F.lit(1)] )
-        )
-        ups = (
-            updates.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
+        ups = updates.withColumn("__gen", F.lit(1))
         return self.merge_combine(
-            ups, name, keys, lambda df: df, n_buckets=n_buckets, run_id=run_id
+            ups,
+            name,
+            keys,
+            lww_combiner(keys, updates.columns, order_col),
+            n_buckets=n_buckets,
+            run_id=run_id,
         )
 
     def merge_combine(
@@ -207,39 +291,65 @@ class IcebergCatalog:
         n_buckets: int = 32,
         run_id: str | None = None,
     ) -> int:
-        """Generic keyed merge: combine updates with the base rows of
-        the touched KEYS (an Iceberg-pruned semi-join read), then one
-        native MERGE INTO commits the result. The combiner contract is
-        the manifest catalog's (semigroup fold per key)."""
+        """Generic keyed merge as a bucket rewrite (the manifest
+        catalog's semantics on native Iceberg): fold
+        ``combiner(base rows of touched buckets ∪ updates)`` and commit
+        it as ONE atomic ``overwritePartitions()`` snapshot — dynamic
+        overwrite replaces exactly the ``bucket(N, key)`` partitions
+        present in the result. Touched = buckets holding an update key
+        ∪ buckets flagged uncombined by raw appends. O(touched
+        buckets); base reads prune on the ``system.bucket`` transform
+        value; the combiner contract is the manifest catalog's
+        (semigroup fold per key, idempotent on combined rows)."""
         self._ensure_namespace()
         fq = self._fq(name)
         if not self.exists(name):
             merged = combiner(updates)
-            self._bucketed[name] = keys
+            self._bucketed[name] = (keys, n_buckets)
             w = self._writer(merged, name, run_id).partitionedBy(
                 F.bucket(n_buckets, F.col(keys[0]))
             )
+            w.tableProperty("kg.merge-keys", ",".join(keys))
+            w.tableProperty("kg.n-buckets", str(n_buckets))
             w.create()
             return self.current_version(name)
-        base = self.read(name).join(
-            updates.select(*keys).distinct(), keys, "left_semi"
+        if self._merge_meta(name) != (keys, n_buckets):
+            # one-time migration: the table predates merging (created by
+            # plain appends, unpartitioned) or is re-keyed → full
+            # rewrite into bucketed form; O(table), documented — the
+            # manifest catalog does the same.
+            merged = combiner(
+                self.read(name).unionByName(updates, allowMissingColumns=True)
+            )
+            self._bucketed[name] = (keys, n_buckets)
+            w = self._writer(merged, name, run_id).partitionedBy(
+                F.bucket(n_buckets, F.col(keys[0]))
+            )
+            w.tableProperty("kg.merge-keys", ",".join(keys))
+            w.tableProperty("kg.n-buckets", str(n_buckets))
+            w.createOrReplace()
+            return self.current_version(name)
+        bcol = self._bucket_col(name, keys, n_buckets)
+        touched = {
+            r[0]
+            for r in updates.select(bcol.alias("b")).distinct().collect()
+            if r[0] is not None
+        }  # ≤ n_buckets small ints — not a data collect
+        touched |= self._uncombined_buckets(name)
+        base = self.read(name).filter(
+            bcol.isin(*touched) if touched else F.lit(False)
         )
         merged = combiner(base.unionByName(updates, allowMissingColumns=True))
-        merged.createOrReplaceTempView("__kg_merge_src")
-        on = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
-        props = f" /* run_id={run_id} */" if run_id else ""
-        self.spark.sql(
-            f"MERGE INTO {fq} t USING __kg_merge_src s ON {on} "
-            f"WHEN MATCHED THEN UPDATE SET * "
-            f"WHEN NOT MATCHED THEN INSERT *{props}"
+        # one atomic snapshot, run_id on the snapshot summary itself
+        (
+            self._writer(merged, name, run_id)
+            .option("merge-schema", "true")
+            .overwritePartitions()
         )
-        if run_id is not None:
-            # MERGE INTO has no writer options; stamp the run_id on the
-            # snapshot after the fact (same commit, summary-only update)
-            self.spark.sql(
-                f"ALTER TABLE {fq} SET TBLPROPERTIES "
-                f"('last-run-id' = '{run_id}')"
-            )
+        if self._uncombined_buckets(name):
+            # clear AFTER the data commit: a crash between re-folds the
+            # buckets next merge, which the semigroup combiner absorbs
+            self._set_uncombined_buckets(name, set())
         return self.current_version(name)
 
     # -- recovery / maintenance ------------------------------------------------
@@ -249,18 +359,27 @@ class IcebergCatalog:
     def rollback_orphan_versions(self, name: str, committed_run_ids: set[str]) -> int:
         """Walk the snapshot history back past uncommitted-run
         snapshots via ``rollback_to_snapshot`` (pointer-only, data
-        stays for expire_snapshots)."""
+        stays for expire_snapshots). Snapshots with NO run_id in their
+        summary between (or above) orphans belong to the same torn run
+        and roll back with it; a run_id-less suffix with no orphan
+        beneath is kept (those are plain appends, healed at file level
+        by the checkpoint replay)."""
         if not self.exists(name):
             return 0
         snaps = self._snapshots(name)
-        keep = len(snaps) - 1
-        while keep >= 0:
-            rid = self._run_id_of(snaps[keep])
-            if rid is not None and rid not in committed_run_ids:
-                keep -= 1
+        top = len(snaps) - 1
+        keep = top
+        i = top
+        while i >= 0:
+            rid = self._run_id_of(snaps[i])
+            if rid is None:
+                i -= 1  # tentative: orphan only if an orphan lies below
+            elif rid not in committed_run_ids:
+                i -= 1
+                keep = i  # this snapshot and every no-run_id one above go
             else:
                 break
-        rolled = len(snaps) - 1 - keep
+        rolled = top - keep
         if rolled and keep >= 0:
             sid = snaps[keep]["snapshot_id"]
             self.spark.sql(

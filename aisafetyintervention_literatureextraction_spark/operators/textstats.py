@@ -132,16 +132,21 @@ def winnow_fingerprints(
     Pure column expressions (sequence/transform/aggregate/slice HOFs —
     WholeStageCodegen, zero Python), so it runs over every document of
     a 100 TB corpus without leaving the JVM. The hash is exact int64
-    arithmetic (max Horner value 127·(31^k−1)/30 < 2^63 for k ≤ 10),
-    so DuckDB reproduces it bit-for-bit — oracle-checkable
-    (``text_winnow_fingerprint``). Each gram re-derives its hash in
+    arithmetic for ANY input: ``ascii()`` yields full Unicode
+    codepoints (≤ 0x10FFFF, not 127), so the max Horner value is
+    0x10FFFF·(31^k−1)/30, which stays < 2^63 only for k ≤ 9 — beyond
+    that Spark would wrap silently while DuckDB promotes, breaking the
+    bit-for-bit oracle parity (``text_winnow_fingerprint``). Each gram re-derives its hash in
     O(k) via Horner instead of O(1) from the previous hash — output-
     identical to the textbook rolling update, and expression-friendly
     (carrying rolling state through a HOF would serialize the doc's
     grams; k is a small constant).
     """
-    if not (1 <= k <= 10) or w < 1:
-        raise ValueError("need 1 <= k <= 10 (int64-exact range) and w >= 1")
+    if not (1 <= k <= 9) or w < 1:
+        raise ValueError(
+            "need 1 <= k <= 9 (int64-exact for all Unicode codepoints: "
+            "0x10FFFF*(31^9-1)/30 < 2^63) and w >= 1"
+        )
     t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
     # char codes materialized ONCE per doc: substr(t, i, 1) inside the
     # gram loop is O(position) on UTF8 strings, turning the whole doc

@@ -382,15 +382,21 @@ def run_pipeline(
 
 
 def run_pipeline_streaming(
-    spark: SparkSession, source_path: str, warehouse: str, **kwargs
+    spark: SparkSession, source_path: str, warehouse: str,
+    cd_every: int | None = None, **kwargs
 ) -> dict:
     """Streaming ingest variant: stages A+B drain from ``source_path``
     as an exactly-once AvailableNow stream (one atomic commit per
-    micro-batch — streaming/catalog_sink.stream_pipeline_to_catalog),
-    then stages C/D run as the batch catch-up over the streamed
-    warehouse. Because the stream writes the batch stages' processed
-    sets, this composes with plain ``run_pipeline`` in either order
-    on the same warehouse."""
+    micro-batch — streaming/catalog_sink.stream_pipeline_to_catalog).
+
+    ``cd_every=None`` (default): stages C/D run once as the batch
+    catch-up after the stream drains. ``cd_every=k``: the delta-aware
+    C+D trigger runs INSIDE the stream loop after every k-th
+    micro-batch, so the kg tables converge while the stream is live;
+    the post-drain pass then only fires if the final batches didn't
+    land on a trigger boundary. Because the stream writes the batch
+    stages' processed sets, this composes with plain ``run_pipeline``
+    in either order on the same warehouse."""
     import os
 
     from ..streaming.catalog_sink import stream_pipeline_to_catalog
@@ -398,13 +404,15 @@ def run_pipeline_streaming(
     cfg = PipelineConfig(warehouse=warehouse, **kwargs)
     cat = make_catalog(spark, warehouse, backend=cfg.catalog_backend)
     t0 = time.time()
-    stream_pipeline_to_catalog(
+    state = stream_pipeline_to_catalog(
         spark, source_path, cat,
         checkpoint_path=os.path.join(warehouse, "_stream_ckpt"),
         extract_engine=cfg.extract_engine, salt_segment=cfg.salt_segment,
+        cd_every=cd_every, cd_cfg=cfg,
     )
-    stage_c_canonicalize(cat, cfg)
-    stage_d_materialize(cat, cfg)
+    if not state.get("cd_on_last"):
+        stage_c_canonicalize(cat, cfg)
+        stage_d_materialize(cat, cfg)
     caching.release_caches()
     wall = time.time() - t0
     n_triples = cat.read("triples_raw").count()

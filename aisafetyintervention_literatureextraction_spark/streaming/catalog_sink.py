@@ -57,6 +57,18 @@ def exactly_once_append(
     return "appended"
 
 
+def _require_checkpoint(checkpoint_path: str | None) -> None:
+    """pyspark stringifies option values, so a None checkpoint_path
+    would silently create a literal directory named "None" in cwd;
+    fail loudly instead (offset tracking is what makes the stream
+    exactly-once — an accidental default location is never right)."""
+    if not checkpoint_path:
+        raise ValueError(
+            "checkpoint_path is required: streaming exactly-once "
+            "depends on a durable checkpointLocation"
+        )
+
+
 def stream_reassemble_to_catalog(
     spark: SparkSession,
     source_path: str,
@@ -68,6 +80,7 @@ def stream_reassemble_to_catalog(
     """AvailableNow reassembly draining into a catalog table with
     exactly-once batch commits (the catalog twin of
     reassembly_stream.stream_reassemble_available_now)."""
+    _require_checkpoint(checkpoint_path)
     src = spark.readStream.schema(TRANSCRIPTS).parquet(source_path)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -175,7 +188,10 @@ def stream_pipeline_to_catalog(
     stream_id: str = "ab",
     extract_engine: str = "arrow",
     salt_segment: int = 4096,
-) -> None:
+    cd_every: int | None = None,
+    cd_cfg=None,
+    max_files_per_trigger: int | None = None,
+) -> dict:
     """Streaming stages A+B: reassembly → extraction → validation
     routing → catalog, one ATOMIC exactly-once commit per micro-batch.
 
@@ -201,14 +217,45 @@ def stream_pipeline_to_catalog(
     ``stream_reassemble_to_catalog``); feeds that split conversations
     across arrivals belong to the stateful assembler
     (streaming/stateful.py), which owns cross-batch state.
+
+    ``cd_every=k`` adds the IN-STREAM stages C+D trigger (round-3
+    VERDICT next-step #3): after every k-th micro-batch's A+B commit
+    point lands, the delta-aware ``stage_c_canonicalize`` and
+    ``stage_d_materialize`` run over the warehouse, so ``kg_nodes`` /
+    ``kg_edges`` converge DURING the stream with no batch pass.
+    Exactly-once composes because C and D sit strictly after the A+B
+    commit point and carry their OWN run_id commit points: a crash
+    inside the trigger replays the micro-batch (A+B heal as committed
+    no-ops), then C's pending anti-join skips the already-merged delta
+    and D is a pure recompute — nothing double-counts.
     """
-    src = spark.readStream.schema(TRANSCRIPTS).parquet(source_path)
+    _require_checkpoint(checkpoint_path)
+    reader = spark.readStream.schema(TRANSCRIPTS)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(source_path)
+    state = {"n_batches": 0, "cd_on_last": False}
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         _process_ab_batch(
             spark, catalog, batch_df, batch_id, stream_id,
             extract_engine=extract_engine, salt_segment=salt_segment,
         )
+        state["n_batches"] += 1
+        state["cd_on_last"] = False
+        if cd_every and state["n_batches"] % cd_every == 0:
+            from ..functions import caching
+            from ..plans.pipeline import (
+                PipelineConfig,
+                stage_c_canonicalize,
+                stage_d_materialize,
+            )
+
+            cfg = cd_cfg or PipelineConfig(warehouse="")
+            stage_c_canonicalize(catalog, cfg)
+            stage_d_materialize(catalog, cfg)
+            caching.release_caches()
+            state["cd_on_last"] = True
 
     q = (
         src.writeStream.foreachBatch(process)
@@ -217,3 +264,4 @@ def stream_pipeline_to_catalog(
         .start()
     )
     q.awaitTermination()
+    return state

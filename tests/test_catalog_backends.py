@@ -76,6 +76,32 @@ def test_backend_contract_append_merge_timetravel(spark, any_catalog):
     old = sorted((r["k"], r["v"]) for r in cat.read("t", version=v1).collect())
     assert old == [(0, 10), (1, 1), (1, 7), (2, 2)]
 
+    # merge_upsert of EXISTING keys (r3 advice): the update must fold
+    # with the base row under LWW — update rows beat base even when the
+    # base order_col is higher (__gen), and among duplicate update rows
+    # the max order_col wins
+    cat.merge_upsert(mk([(0, 4), (0, 6), (4, 44)]), "t", keys=["k"], order_col="v")
+    assert _rows(cat) == [(0, 6), (1, 7), (2, 2), (3, 3), (4, 44)]
+
+
+def test_backend_rollback_skips_unlabeled_between_orphans(spark, any_catalog):
+    """A torn run's unlabeled (no-run_id) commits sandwiched between
+    its labeled orphan commits roll back WITH the run; an unlabeled
+    suffix over a committed tail is kept."""
+    cat = any_catalog
+    mk = lambda rows: spark.createDataFrame(rows, "k int, v int")
+    cat.overwrite(mk([(0, 0)]), "t", run_id="good")
+    cat.overwrite(mk([(1, 1)]), "t", run_id="orphan")
+    cat.overwrite(mk([(2, 2)]), "t")  # same torn run, unlabeled
+    cat.overwrite(mk([(3, 3)]), "t", run_id="orphan")
+    rolled = cat.rollback_orphan_versions("t", committed_run_ids={"good"})
+    assert rolled == 3
+    assert _rows(cat) == [(0, 0)]
+    # unlabeled suffix with no orphan beneath: kept
+    cat.overwrite(mk([(5, 5)]), "t")
+    assert cat.rollback_orphan_versions("t", committed_run_ids={"good"}) == 0
+    assert _rows(cat) == [(5, 5)]
+
 
 def test_backend_rollback_orphans(spark, any_catalog):
     cat = any_catalog

@@ -340,3 +340,63 @@ def test_run_pipeline_streaming_equals_batch(spark, corpus, tmp_path):
             (tuple(r[c] for c in cols) for r in cat_b.read(t).collect()), key=repr
         )
         assert sa == sb, t
+
+
+def test_stream_pipeline_cd_in_stream(spark, corpus, tmp_path):
+    """Streaming stages C+D (r3 VERDICT next-step #3): with
+    ``cd_every``, the delta-aware canonicalize + materialize trigger
+    runs INSIDE the stream loop, so a pure streaming run produces
+    kg_nodes/kg_edges byte-equal to the batch pipeline with no
+    ``run_pipeline`` call — and a full offset replay changes nothing."""
+    from aisafetyintervention_literatureextraction_spark.catalog import Catalog
+    from aisafetyintervention_literatureextraction_spark.plans.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+    from aisafetyintervention_literatureextraction_spark.streaming.catalog_sink import (
+        stream_pipeline_to_catalog,
+    )
+
+    df, _ = corpus
+    src = str(tmp_path / "src")
+    # one conversation per file-partition: micro-batches respect the
+    # whole-conversation contract
+    df.repartition(4, "conv_id").write.parquet(src)
+
+    wh_s = str(tmp_path / "wh_s")
+    cat_s = Catalog(spark, wh_s)
+    cfg_s = PipelineConfig(warehouse=wh_s)
+    state = stream_pipeline_to_catalog(
+        spark, src, cat_s, checkpoint_path=str(tmp_path / "ck1"),
+        cd_every=2, cd_cfg=cfg_s, max_files_per_trigger=1,
+    )
+    assert state["n_batches"] >= 3          # genuinely multi-batch
+    assert state["cd_on_last"]              # kg tables are stream-built
+    assert cat_s.read("kg_edges").count() > 0
+
+    # batch twin on a fresh warehouse
+    stats_b = run_pipeline(spark, spark.read.parquet(src), str(tmp_path / "wh_b"))
+    cat_b = Catalog(spark, str(tmp_path / "wh_b"))
+
+    def rows(cat, table):
+        dfr = cat.read(table)
+        cols = sorted(dfr.columns)
+        return sorted(
+            (tuple(r[c] for c in cols) for r in dfr.collect()), key=repr
+        )
+
+    for t in ["kg_nodes", "kg_edges", "dangling", "components"]:
+        assert rows(cat_s, t) == rows(cat_b, t), t
+
+    # full offset replay (fresh checkpoint): every A+B batch is a
+    # committed no-op, C sees an empty pending delta, D recomputes the
+    # same graph — nothing double-counts
+    n_edges = cat_s.read("kg_edges").count()
+    n_triples = cat_s.read("triples_raw").count()
+    stream_pipeline_to_catalog(
+        spark, src, cat_s, checkpoint_path=str(tmp_path / "ck2"),
+        cd_every=2, cd_cfg=cfg_s, max_files_per_trigger=1,
+    )
+    assert cat_s.read("triples_raw").count() == n_triples
+    assert cat_s.read("kg_edges").count() == n_edges
+    assert rows(cat_s, "kg_edges") == rows(cat_b, "kg_edges")
