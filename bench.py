@@ -27,6 +27,43 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# hypervisor steal above this fraction of CPU time invalidates a
+# measurement (r3 lost a day to a silent host-degradation window;
+# the 2-3x wall inflation observed there came with steal >> 5%)
+STEAL_THRESHOLD_PCT = float(os.environ.get("SPARK_GRAFT_MAX_STEAL_PCT", "5"))
+
+
+def _host_sample() -> dict:
+    """One /proc/stat + loadavg reading (cheap, driver-side)."""
+    out = {"ts": time.time()}
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        out["cpu_total"] = sum(vals)
+        out["cpu_steal"] = vals[7] if len(vals) > 7 else 0
+    except OSError:
+        out["cpu_total"] = out["cpu_steal"] = 0
+    try:
+        out["load1"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        out["load1"] = None
+    return out
+
+
+def _host_delta(before: dict, after: dict) -> dict:
+    """steal%/load telemetry for the window between two samples —
+    embedded per measurement so a graded number carries its own
+    host-weather evidence (r3 VERDICT next-step #5)."""
+    dt = max(after["cpu_total"] - before["cpu_total"], 1)
+    steal_pct = 100.0 * (after["cpu_steal"] - before["cpu_steal"]) / dt
+    return {
+        "steal_pct": round(steal_pct, 3),
+        "load1_before": before["load1"],
+        "load1_after": after["load1"],
+        "degraded": steal_pct > STEAL_THRESHOLD_PCT,
+    }
+
 # transcript corpus size by sf (conversations; ~8 turns + 2.1 triples each)
 _CORPUS_BY_SF = {"0.001": 200, "0.01": 2000, "0.1": 20000}
 
@@ -151,6 +188,138 @@ def bench_queries(spark, sf_dir: str) -> dict:
     return out
 
 
+def bench_ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 32) -> dict:
+    """Recall@k of the APPROXIMATE ANN regimes vs exact brute force at
+    the bench SF (r3 VERDICT next-step #6: the oracle rows pin the
+    exact regimes; this logs what the approximate settings actually
+    recall at scale — no silent caps)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from aisafetyintervention_literatureextraction_spark.operators.similarity import (
+        cosine,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def topk_ids(df):
+        rows = df.select("query_id", "vec_id").collect()  # k·n_queries ids
+        out: dict = {}
+        for r in rows:
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    scored = F.broadcast(
+        q.select("query_id", F.col("embedding").alias("q_vec"))
+    ).crossJoin(e.select("vec_id", F.col("embedding").alias("c_vec"))).select(
+        "query_id", "vec_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("s")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("vec_id"))
+    exact = topk_ids(
+        scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    )
+
+    def recall(approx):
+        covered = sum(len(approx.get(qid, set()) & ids) for qid, ids in exact.items())
+        return round(covered / max(sum(len(v) for v in exact.values()), 1), 3)
+
+    # recall/cost sweep: candidate volume grows with bands (LSH) and
+    # n_probe (IVF); the sweep shows where the curve saturates instead
+    # of reporting one arbitrary operating point
+    lsh = {
+        f"bands={b},bits={bits}": recall(topk_ids(lsh_topk(e, q, k=k, bands=b, bits=bits)))
+        for b, bits in [(8, 8), (16, 4), (32, 2)]
+    }
+    ivf = {
+        f"n_cells=64,n_probe={p}": recall(
+            topk_ids(ivf_topk(e, q, k=k, n_cells=64, n_probe=p))
+        )
+        for p in (4, 8, 16)
+    }
+    return {"k": k, "n_queries": len(exact), "lsh_recall": lsh, "ivf_recall": ivf}
+
+
+def bench_cc_skew(spark, n_nodes: int = 200_000) -> dict:
+    """Connected-components under a SINGLE GIANT COMPONENT (r3 VERDICT
+    next-step #4): the jump join keys on ``component_id``, which is hot
+    by construction once one component dominates. Three graphs at the
+    same node scale:
+
+    - ``star``: 50% of nodes attached to one hub → maximal key skew
+      (every giant-component row carries the same label from iter 1)
+    - ``chain``: 50% of nodes in one path → maximal diameter (stresses
+      the O(log D) pointer jumping, skew arrives as labels coalesce)
+    - ``uniform``: all 2-node components → balanced baseline
+
+    Mitigation on the hot key is AQE skew-join splitting (pinned on in
+    session.get_spark, locked by tests/test_components.py): the jump
+    join's build side is unique-keyed, so splitting the probe side is
+    always safe. The bench row reports walls + the skew factor (max /
+    median component size) so a regression shows up as giant-vs-uniform
+    wall divergence, not just absolute time."""
+    from pyspark.sql import functions as F
+
+    from aisafetyintervention_literatureextraction_spark.operators.components import (
+        connected_components,
+    )
+
+    half = n_nodes // 2
+    verts = spark.range(n_nodes).select(F.col("id").alias("node_id"))
+    star = spark.range(1, half).select(
+        F.lit(0).cast("long").alias("a_id"), F.col("id").alias("b_id")
+    )
+    chain = spark.range(half - 1).select(
+        F.col("id").alias("a_id"), (F.col("id") + 1).alias("b_id")
+    )
+    pair_tail = spark.range(half, n_nodes - 1, 2).select(
+        F.col("id").alias("a_id"), (F.col("id") + 1).alias("b_id")
+    )
+    uniform = spark.range(0, n_nodes - 1, 2).select(
+        F.col("id").alias("a_id"), (F.col("id") + 1).alias("b_id")
+    )
+    out = {"n_nodes": n_nodes}
+    for name, edges in [
+        ("star", star.union(pair_tail)),
+        ("chain", chain.union(pair_tail)),
+        ("uniform", uniform),
+    ]:
+        h0 = _host_sample()
+        t0 = time.time()
+        labels = connected_components(verts, edges, max_iter=60)
+        sizes = labels.groupBy("component_id").count()
+        stats = sizes.agg(
+            F.max("count").alias("mx"),
+            F.expr("percentile_approx(count, 0.5)").alias("med"),
+            F.count("*").alias("n_comps"),
+        ).collect()[0]
+        wall = time.time() - t0
+        out[name] = {
+            "wall_s": round(wall, 2),
+            "giant_size": int(stats["mx"]),
+            "skew_factor": round(stats["mx"] / max(stats["med"], 1), 1),
+            "n_components": int(stats["n_comps"]),
+            "host": _host_delta(h0, _host_sample()),
+        }
+    out["star_vs_uniform_wall_ratio"] = round(
+        out["star"]["wall_s"] / max(out["uniform"]["wall_s"], 1e-9), 2
+    )
+    out["chain_vs_uniform_wall_ratio"] = round(
+        out["chain"]["wall_s"] / max(out["uniform"]["wall_s"], 1e-9), 2
+    )
+    out["skew_join_conf"] = {
+        "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+        "spark.sql.adaptive.skewJoin.enabled": spark.conf.get(
+            "spark.sql.adaptive.skewJoin.enabled"
+        ),
+    }
+    return out
+
+
 def run_once(cpus: int, sf_dir: str, skip_queries: bool = False,
              replicate: int = 1) -> dict:
     from aisafetyintervention_literatureextraction_spark.session import get_spark
@@ -182,11 +351,16 @@ def run_once(cpus: int, sf_dir: str, skip_queries: bool = False,
         path = ensure_corpus(spark, n_convs, replicate=replicate)
         # warm the JVM/code paths once so the measurement isn't startup
         spark.read.parquet(path).limit(10).count()
+        h0 = _host_sample()
         ext = bench_extraction(spark, path)
+        ext["host"] = _host_delta(h0, _host_sample())
         queries = {} if skip_queries else bench_queries(spark, sf_dir)
         bucketed = {} if skip_queries else bench_bucketed(spark, path)
+        ann = {} if skip_queries else bench_ann_recall(spark, sf_dir)
         return {"extraction": ext, "queries": queries,
-                "bucketed_input": bucketed, "n_convs": n_convs}
+                "bucketed_input": bucketed, "ann_recall": ann,
+                "n_convs": n_convs,
+                "host": _host_delta(h0, _host_sample())}
     finally:
         spark.stop()
 
@@ -238,6 +412,8 @@ def main() -> None:
                     help="run at N and 4N cores, report efficiency")
     ap.add_argument("--pipeline", action="store_true",
                     help="full warehouse build + incremental re-run walls")
+    ap.add_argument("--cc-skew", action="store_true",
+                    help="connected-components giant-component skew bench")
     ap.add_argument("--cpus", type=int, default=CPUS)
     ap.add_argument("--repeats", type=int, default=3,
                     help="alternating (low, high) measurement pairs for --scaling")
@@ -254,6 +430,23 @@ def main() -> None:
     args = ap.parse_args()
 
     sf = _sf_of(SF_DIR)
+    if args.cc_skew:
+        from aisafetyintervention_literatureextraction_spark.session import get_spark
+
+        spark = get_spark(f"bench-ccskew-{args.cpus}", cpus=args.cpus,
+                          shuffle_partitions=64)
+        try:
+            res = bench_cc_skew(spark)
+        finally:
+            spark.stop()
+        print(json.dumps({
+            "metric": "cc_skew_star_vs_uniform_wall_ratio",
+            "value": res["star_vs_uniform_wall_ratio"],
+            "unit": "ratio",
+            **res,
+            "sf": sf,
+        }))
+        return
     if args.pipeline:
         res = bench_pipeline(args.cpus, replicate=args.replicate)
         print(json.dumps({
@@ -271,11 +464,28 @@ def main() -> None:
         # has minutes-scale background-load drift, so a single pair
         # under/over-states whichever level hit the noisy window.
         tp_n, tp_4n = 0.0, 0.0
+        n_discarded = 0
+        hosts = []
         for _ in range(args.repeats):
             lo = run_once(n, SF_DIR, skip_queries=True, replicate=args.replicate)
             hi = run_once(high, SF_DIR, skip_queries=True, replicate=args.replicate)
+            hosts.append({"low": lo["host"], "high": hi["host"]})
+            # a measurement taken under hypervisor steal is not graded
+            # (r3's degradation window inflated walls 2-3x uniformly)
+            if lo["host"]["degraded"] or hi["host"]["degraded"]:
+                n_discarded += 1
+                continue
             tp_n = max(tp_n, lo["extraction"]["triples_per_sec"])
             tp_4n = max(tp_4n, hi["extraction"]["triples_per_sec"])
+        if tp_n == 0.0:
+            print(json.dumps({
+                "metric": "scaling_efficiency", "value": None,
+                "unit": "ratio", "valid": False,
+                "reason": f"all {args.repeats} pairs exceeded "
+                          f"{STEAL_THRESHOLD_PCT}% host steal",
+                "host_samples": hosts, "sf": sf,
+            }))
+            raise SystemExit(3)
         eff = (tp_4n / tp_n) / (high / n)
         print(json.dumps({
             "metric": "scaling_efficiency",
@@ -284,6 +494,8 @@ def main() -> None:
             "cores_low": n, "cores_high": high,
             "triples_per_sec_low": round(tp_n, 1),
             "triples_per_sec_high": round(tp_4n, 1),
+            "pairs_discarded_for_steal": n_discarded,
+            "host_samples": hosts,
             "sf": sf,
         }))
         return
@@ -298,6 +510,9 @@ def main() -> None:
         "n_triples": res["extraction"]["n_triples"],
         "extraction_wall_s": round(res["extraction"]["wall_s"], 2),
         "bucketed_input": res["bucketed_input"],
+        "ann_recall": res["ann_recall"],
+        "host": res["host"],
+        "valid": not res["host"]["degraded"],
         "cpus": args.cpus,
     }))
 
