@@ -108,8 +108,23 @@ def connected_components(
             )
         )
         if (i + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
-        n_changed = new_labels.filter(F.col("changed")).count()
+            # persist-then-checkpoint sandwich — NOT just lineage hygiene.
+            # localCheckpoint preserves the origin plan's Catalyst
+            # statistics, and sizeInBytes MULTIPLIES through each
+            # iteration's joins, so the estimate's BigInteger doubles
+            # in digit count every iteration; by ~iteration 12 the
+            # driver spends tens of seconds per iteration inside
+            # BigInteger.multiply doing stat propagation (measured:
+            # 0.6 s → 67 s/iter on a 20 k-node chain, executor time
+            # ~0). The cache boundary makes the checkpointed plan's
+            # stats the InMemoryRelation's REAL materialized size, so
+            # estimates stay flat for any iteration count.
+            cached = new_labels.persist()
+            n_changed = cached.filter(F.col("changed")).count()
+            new_labels = cached.localCheckpoint(eager=True)
+            cached.unpersist()
+        else:
+            n_changed = new_labels.filter(F.col("changed")).count()
         labels = new_labels.drop("changed")
         if n_changed == 0:
             converged = True

@@ -4,9 +4,11 @@ metadata, processed via Arrow-batched ``mapInPandas``.
 Real decode coverage (no codec libraries — numpy + stdlib zlib):
 - images: P6 PPM, 24-bit BMP, PNG (8/16-bit gray/RGB/RGBA/palette,
   all five spec filters, non-interlaced), GIF87a/89a (LZW, interlace,
-  transparency, disposal), baseline JPEG (operators/jpeg.py — SOF0/1,
-  4:2:0/4:2:2/4:4:4, restart markers); decode → feature-extract →
-  resize → re-encode runs end-to-end on actual pixels, distributed.
+  transparency, disposal), baseline AND progressive JPEG
+  (operators/jpeg.py — SOF0/1/2, spectral selection + successive
+  approximation, 4:2:0/4:2:2/4:4:4, restart markers); decode →
+  feature-extract → resize → re-encode runs end-to-end on actual
+  pixels, distributed.
 - video containers: RIFF/AVI (demux_avi), ISO-BMFF/MP4 (demux_mp4),
   Matroska/WebM (demux_mkv) demux real video- or audio-track sample
   payloads; animated GIFs decode to composited frames; x-ppm-stream
@@ -16,7 +18,7 @@ Real decode coverage (no codec libraries — numpy + stdlib zlib):
   samples; extract_audio_features computes RMS/ZCR/duration
   distributed.
 PIL (`_HAS_CODECS`) remains the optional escape hatch for
-progressive-JPEG/H.264-class codecs only; payloads no decoder claims
+arithmetic-JPEG/H.264-class codecs only; payloads no decoder claims
 fall back to a deterministic digest feature so a mixed corpus never
 aborts.
 

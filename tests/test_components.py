@@ -120,3 +120,26 @@ def test_giant_component_skew_mitigation_locked(spark):
     assert sizes[0] == half                      # the giant component
     assert all(v == 2 for k, v in sizes.items() if k != 0)
     assert len(sizes) == 1 + half // 2
+
+
+def test_iteration_stats_do_not_explode(spark):
+    """Catalyst sizeInBytes must stay HONEST through the iteration:
+    localCheckpoint preserves origin-plan statistics, and join
+    estimates multiply, so without the persist-then-checkpoint
+    sandwich the estimate's BigInteger doubles in digits every
+    iteration and the driver ends up spending tens of seconds per
+    iteration in BigInteger.multiply (measured on a 20k-node chain:
+    0.6 s → 67 s/iter). A deep chain forces ~12 iterations; the
+    returned plan's sizeInBytes must be a sane number, not an
+    astronomically compounded estimate."""
+    from pyspark.sql import functions as F
+
+    n = 4000
+    verts = spark.range(n).select(F.col("id").alias("node_id"))
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("a_id"), (F.col("id") + 1).alias("b_id")
+    )
+    labels = connected_components(verts, chain, max_iter=30)
+    assert {r["component_id"] for r in labels.select("component_id").distinct().collect()} == {0}
+    size = str(labels._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    assert len(size) < 15, f"stats exploded: {len(size)}-digit sizeInBytes"

@@ -618,3 +618,57 @@ def test_png_16bit_decode():
            + chunk(b"IEND", b""))
     got = decode_png(png)
     np.testing.assert_array_equal(got, (img16 >> 8).astype(np.uint8))
+
+
+def test_jpeg_progressive_roundtrip_matches_baseline():
+    """Progressive (SOF2) decode — spectral-selection bands plus
+    successive-approximation DC/AC refinement scans with EOB runs and
+    correction bits — reconstructs the IDENTICAL pixels the baseline
+    path produces for the same quantized coefficients, with no PIL."""
+    import numpy as np
+
+    from aisafetyintervention_literatureextraction_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(11)
+    h, w = 41, 53  # odd dims: exercises the unpadded-block-grid rule
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    img = np.stack(
+        [(xx * 255 / w), (yy * 255 / h), ((xx + yy) * 255 / (w + h))], axis=2
+    ).astype(np.uint8)
+    img = np.clip(
+        img.astype(int) + rng.integers(-25, 25, img.shape), 0, 255
+    ).astype(np.uint8)
+    for sub in ("444", "420"):
+        for q in (100, 75):
+            prog = encode_jpeg_progressive(img, quality=q, subsampling=sub)
+            assert b"\xff\xc2" in prog[:400]  # really SOF2
+            out = decode_jpeg(prog)
+            ref = decode_jpeg(encode_jpeg(img, quality=q, subsampling=sub))
+            assert out is not None
+            assert np.array_equal(out, ref), (sub, q)
+    # near-lossless at q100 vs the source
+    out = decode_jpeg(encode_jpeg_progressive(img, quality=100))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_jpeg_progressive_through_decode_image():
+    """multimodal.decode_image dispatches progressive JPEG through the
+    in-repo codec (no PIL escape hatch needed anymore)."""
+    import numpy as np
+
+    from aisafetyintervention_literatureextraction_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+    from aisafetyintervention_literatureextraction_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    img = (np.arange(24 * 32 * 3).reshape(24, 32, 3) % 251).astype(np.uint8)
+    arr, decoder = decode_image(encode_jpeg_progressive(img, quality=100))
+    assert decoder == "jpeg"
+    assert arr is not None and arr.shape == (24, 32, 3)
+    assert np.abs(arr.astype(int) - img.astype(int)).max() <= 2
