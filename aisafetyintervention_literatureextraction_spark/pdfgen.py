@@ -195,9 +195,11 @@ def build_pdf(pages: list[list[str]], *, mode: str = "tj",
 _MODES = ("tj", "tjarr", "quote", "hex")
 
 
-def doc_pages(i: int) -> list[list[str]]:
+def doc_pages(i: int, grammar: bool = False) -> list[list[str]]:
     """Deterministic text for fixture doc ``i`` — exercises parens,
-    backslashes, control-char octal escapes, and Latin-1 bytes."""
+    backslashes, control-char octal escapes, and Latin-1 bytes.
+    ``grammar=True`` appends extraction-grammar sentences (ontology.py
+    templates) so the PDFs yield real triples through stages B-D."""
     lines = [
         f"Paper {i}: intervention (RLHF v{i % 3}) improves safety",
         f"metrics[{i}] = {i * 3 + 1}; jaccard > 0.5 \\ baseline",
@@ -205,36 +207,51 @@ def doc_pages(i: int) -> list[list[str]]:
         f"tab\tseparated\tfields {i}",
         f"links [node {i}] and [concept {i % 4}] directly",
     ]
+    if grammar:
+        from .ontology import CONFIDENCE_WORDS, EDGE_PHRASES
+
+        phrase = sorted(EDGE_PHRASES)[i % len(EDGE_PHRASES)]
+        conf = sorted(CONFIDENCE_WORDS)[i % len(CONFIDENCE_WORDS)]
+        lines += [
+            f"Logical chain <chain {i}> proceeds as follows.",
+            f"Evidence shows that [method {i}] {phrase} [risk {i % 3}]"
+            f" with {conf} confidence because study {i} measured it.",
+            f"Concept [risk {i % 3}] (category: failure-mode; aka: none)"
+            f" is defined as a measured failure mode {i % 3}.",
+        ]
     if i % 5 == 0:  # multi-page docs
         return [lines[:2], lines[2:] + [f"appendix page for doc {i}"]]
     return [lines]
 
 
-def expected_text(i: int) -> str:
-    return "\n".join("\n".join(pg) for pg in doc_pages(i))
+def expected_text(i: int, grammar: bool = False) -> str:
+    return "\n".join("\n".join(pg) for pg in doc_pages(i, grammar=grammar))
 
 
-def build_doc(i: int) -> bytes:
+def build_doc(i: int, grammar: bool = False) -> bytes:
     return build_pdf(
-        doc_pages(i),
+        doc_pages(i, grammar=grammar),
         mode=_MODES[i % len(_MODES)],
         flate=(i % 2 == 1),
         xref_stream=(i % 3 == 0),
     )
 
 
-def ensure_pdf_fixture(dirpath: str, n_docs: int = 16) -> str:
+def ensure_pdf_fixture(dirpath: str, n_docs: int = 16,
+                       grammar: bool = False) -> str:
     """Write ``doc_###.pdf`` + ``expected/doc_###.txt`` pairs; content
-    is a pure function of the index so repeated calls are no-ops."""
+    is a pure function of the index so repeated calls are no-ops.
+    ``grammar=True`` writes the triples-bearing corpus variant (the
+    end-to-end PDF→KG fixture)."""
     d = pathlib.Path(dirpath)
     (d / "expected").mkdir(parents=True, exist_ok=True)
     for i in range(n_docs):
         pdf = d / f"doc_{i:03d}.pdf"
-        data = build_doc(i)
+        data = build_doc(i, grammar=grammar)
         if not pdf.exists() or pdf.read_bytes() != data:
             pdf.write_bytes(data)
         txt = d / "expected" / f"doc_{i:03d}.txt"
-        body = expected_text(i)
+        body = expected_text(i, grammar=grammar)
         if not txt.exists() or txt.read_text(encoding="utf-8") != body:
             txt.write_text(body, encoding="utf-8")
     return str(d)

@@ -90,6 +90,55 @@ def stage_a_reassemble(cat: Catalog, transcripts: DataFrame, cfg: PipelineConfig
     return cat.read("documents")
 
 
+def stage_a_ingest_documents(
+    cat: Catalog, docs: DataFrame, cfg: PipelineConfig
+) -> DataFrame:
+    """Stage-A twin for PRE-ASSEMBLED documents — the reference's
+    actual input shape (a directory of PDFs, extract.py:65): rows of
+    ``(conv_id, doc_text [, n_turns])`` land in the ``documents``
+    table directly (no reassembly window needed), null-text rows
+    quarantine, and the ``A_reassemble`` processed set is marked so
+    stages B-D and the resume anti-joins compose identically with the
+    transcript path."""
+    run_id = ckpt.new_run_id()
+    t0 = time.time()
+    if cfg.resume:
+        ckpt.reconcile(cat, ["documents", "quarantine"])
+    if "n_turns" not in docs.columns:
+        docs = docs.withColumn("n_turns", F.lit(1))
+    docs = docs.select(
+        "conv_id",
+        F.coalesce(F.col("n_turns"), F.lit(1)).cast("int").alias("n_turns"),
+        "doc_text",
+        F.lit(None).cast("array<string>").alias("roles"),
+        F.lit(None).cast("timestamp").alias("ts_min"),
+        F.lit(None).cast("timestamp").alias("ts_max"),
+    )
+    pending = ckpt.pending(cat, "A_reassemble", docs) if cfg.resume else docs
+    # a failed decode yields null text; a structurally-valid file with
+    # no extractable text yields "" — both are undecodable for a text
+    # pipeline and quarantine rather than flowing into extraction
+    usable = F.col("doc_text").isNotNull() & (F.length("doc_text") > 0)
+    good = caching.track(pending.filter(usable))
+    bad = caching.track(
+        pending.filter(~usable | F.col("doc_text").isNull()).select(
+            "conv_id", F.lit("undecodable_document").alias("reason")
+        )
+    )
+    cat.append(good, "documents", run_id=run_id)
+    if cat.exists("quarantine") or bad.limit(1).count() > 0:
+        cat.append(bad, "quarantine", run_id=run_id)
+    processed = good.select("conv_id").union(bad.select("conv_id")).distinct()
+    ckpt.mark_processed(cat, "A_reassemble", run_id, processed)  # commit point
+    ckpt.write_lineage(cat, "A_reassemble", run_id, good)
+    ckpt.write_metrics(cat, "A_reassemble", run_id, {
+        "n_documents_delta": good.count(), "wall_s": time.time() - t0,
+    })
+    good.unpersist()
+    bad.unpersist()
+    return cat.read("documents")
+
+
 def stage_b_extract(cat: Catalog, cfg: PipelineConfig) -> tuple[DataFrame, DataFrame]:
     run_id = ckpt.new_run_id()
     t0 = time.time()
@@ -381,6 +430,40 @@ def run_pipeline(
     }
 
 
+def run_pipeline_pdfs(
+    spark: SparkSession, pdf_dir: str, warehouse: str, glob: str = "*.pdf",
+    **kwargs,
+) -> dict:
+    """The reference's own input format end-to-end: a directory of PDF
+    files → binaryFile scan → stdlib text extraction (operators/pdf.py,
+    Arrow-batched) → documents → stages B-D. Undecodable PDFs
+    quarantine instead of failing the run; resume semantics are the
+    transcript pipeline's (re-running skips already-ingested stems)."""
+    from ..operators.pdf import decode_pdf_text
+    from ..sources.raw_files import read_raw_files
+
+    cfg = PipelineConfig(warehouse=warehouse, **kwargs)
+    cat = make_catalog(spark, warehouse, backend=cfg.catalog_backend)
+    t0 = time.time()
+    docs = decode_pdf_text(read_raw_files(spark, pdf_dir, glob=glob)).select(
+        "conv_id", F.col("n_pages").alias("n_turns"), "doc_text"
+    )
+    stage_a_ingest_documents(cat, docs, cfg)
+    stage_b_extract(cat, cfg)
+    stage_c_canonicalize(cat, cfg)
+    stage_d_materialize(cat, cfg)
+    caching.release_caches()
+    wall = time.time() - t0
+    n_triples = cat.read("triples_raw").count()
+    return {
+        "wall_s": wall,
+        "n_triples": n_triples,
+        "triples_per_sec": n_triples / wall,
+        "n_kg_nodes": cat.read("kg_nodes").count(),
+        "n_kg_edges": cat.read("kg_edges").count(),
+    }
+
+
 def run_pipeline_streaming(
     spark: SparkSession, source_path: str, warehouse: str,
     cd_every: int | None = None, **kwargs
@@ -427,7 +510,10 @@ def run_pipeline_streaming(
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--transcripts", required=True, help="parquet path of transcripts")
+    ap.add_argument("--transcripts", help="parquet path of transcripts")
+    ap.add_argument("--pdf-dir", help="directory of PDF documents "
+                    "(the reference's input format) — alternative to "
+                    "--transcripts")
     ap.add_argument("--warehouse", required=True)
     ap.add_argument("--engine", default="arrow")
     ap.add_argument("--cpus", type=int, default=None)
@@ -435,8 +521,14 @@ def main() -> None:
                     help="ingest stages A+B as an exactly-once "
                          "AvailableNow stream, then run C/D catch-up")
     args = ap.parse_args()
+    if not args.transcripts and not args.pdf_dir:
+        ap.error("one of --transcripts or --pdf-dir is required")
     spark = get_spark("kg-pipeline", cpus=args.cpus)
-    if args.stream:
+    if args.pdf_dir:
+        stats = run_pipeline_pdfs(
+            spark, args.pdf_dir, args.warehouse, extract_engine=args.engine
+        )
+    elif args.stream:
         stats = run_pipeline_streaming(
             spark, args.transcripts, args.warehouse, extract_engine=args.engine
         )

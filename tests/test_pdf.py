@@ -118,3 +118,31 @@ def test_pdf_dir_to_mentions_end_to_end(spark, tmp_path):
     text = expected_text(7)
     for r in one:
         assert text[r.span_start:r.span_end] == r.mention
+
+
+def test_pdf_dir_full_pipeline(spark, tmp_path):
+    """The reference's complete workflow on its own input format: a
+    directory of PDFs → stdlib text extraction → stages B-D → KG
+    tables — with quarantine for undecodable files and resume
+    idempotence on re-run."""
+    from aisafetyintervention_literatureextraction_spark.catalog import Catalog
+    from aisafetyintervention_literatureextraction_spark.plans.pipeline import (
+        run_pipeline_pdfs,
+    )
+
+    d = ensure_pdf_fixture(str(tmp_path / "pdfs"), grammar=True)
+    (tmp_path / "pdfs" / "doc_bad.pdf").write_bytes(b"%PDF-1.4 garbage")
+    wh = str(tmp_path / "wh")
+    stats = run_pipeline_pdfs(spark, d, wh)
+    assert stats["n_triples"] == N_DOCS  # one grammar edge per doc
+    assert stats["n_kg_edges"] > 0 and stats["n_kg_nodes"] > 0
+    cat = Catalog(spark, wh)
+    q = {r.conv_id: r.reason for r in cat.read("quarantine").collect()}
+    assert q == {"doc_bad": "undecodable_document"}
+    # subj/obj carry the fixture's grammar entities
+    subjs = {r.subj for r in cat.read("triples_raw").select("subj").collect()}
+    assert subjs == {f"method {i}" for i in range(N_DOCS)}
+    # resume: nothing pending, same warehouse counts
+    stats2 = run_pipeline_pdfs(spark, d, wh)
+    assert stats2["n_triples"] == stats["n_triples"]
+    assert stats2["n_kg_edges"] == stats["n_kg_edges"]
