@@ -485,19 +485,44 @@ class PdfDocument:
             return []
         out: list[dict] = []
 
-        def walk(node, depth=0):
+        def walk(node, inherited_res=None, depth=0):
             node = self.resolve(node)
             if isinstance(node, _Stream):
                 node = node.dict
             if not isinstance(node, dict) or depth > 64:
                 return
+            res = node.get("Resources", inherited_res)  # §7.7.3.4 inheritable attr
             if node.get("Type") == "Page":
+                if "Resources" not in node and res is not None:
+                    node = {**node, "Resources": res}
                 out.append(node)
             else:
                 for kid in self.resolve(node.get("Kids")) or []:
-                    walk(kid, depth + 1)
+                    walk(kid, res, depth + 1)
 
         walk(root.get("Pages"))
+        return out
+
+    def page_fonts(self, page: dict) -> dict:
+        """Font name → ToUnicode code map (or None) for one page.
+        Real scholarly PDFs embed SUBSET fonts whose string bytes are
+        private glyph codes — meaningless without the font's
+        ``/ToUnicode`` CMap; this resolves each ``/Resources /Font``
+        entry's CMap so the text assembler can decode per-font."""
+        res = self.resolve(page.get("Resources")) or {}
+        fonts = self.resolve(res.get("Font")) or {}
+        out = {}
+        for name, ref in fonts.items():
+            fd = self.resolve(ref)
+            cmap = None
+            if isinstance(fd, dict) and "ToUnicode" in fd:
+                stm = self.resolve(fd["ToUnicode"])
+                if isinstance(stm, _Stream):
+                    try:
+                        cmap = _parse_tounicode(self._decode_stream(stm))
+                    except Exception:
+                        cmap = None
+            out[name] = cmap
         return out
 
     def page_content(self, page: dict) -> bytes:
@@ -524,15 +549,89 @@ def _pdf_text(b: bytes) -> str:
     return b.decode("latin-1")
 
 
+_HEXPAIR_RE = re.compile(rb"<([0-9A-Fa-f\s]+)>")
+
+
+def _parse_tounicode(cmap_bytes: bytes) -> dict:
+    """/ToUnicode CMap → {"width": code bytes, "map": {code: str}}.
+    Handles ``begincodespacerange`` (code width), ``beginbfchar``
+    (point mappings) and both ``beginbfrange`` forms (dst-start
+    increment and explicit dst array) per PDF 32000 §9.10.3 /
+    Adobe CMap spec — destinations are UTF-16BE."""
+
+    def hexes(chunk: bytes) -> list[bytes]:
+        return [bytes.fromhex(re.sub(rb"\s", b"", m).decode("ascii"))
+                for m in _HEXPAIR_RE.findall(chunk)]
+
+    width = 1
+    m = re.search(rb"begincodespacerange(.*?)endcodespacerange",
+                  cmap_bytes, re.S)
+    if m:
+        lo = hexes(m.group(1))
+        if lo:
+            width = len(lo[0])
+    table: dict[int, str] = {}
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", cmap_bytes, re.S):
+        hs = hexes(m.group(1))
+        for i in range(0, len(hs) - 1, 2):
+            src = int.from_bytes(hs[i], "big")
+            table[src] = hs[i + 1].decode("utf-16-be", "replace")
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", cmap_bytes, re.S):
+        body = m.group(1)
+        # tokenize: hex strings and [ arrays of hex strings ]
+        toks = re.findall(rb"<[0-9A-Fa-f\s]+>|\[|\]", body)
+        i = 0
+        while i < len(toks):
+            if toks[i] == b"[" or toks[i] == b"]":
+                i += 1
+                continue
+            if i + 2 >= len(toks):
+                break
+            lo = int.from_bytes(hexes(toks[i])[0], "big")
+            hi = int.from_bytes(hexes(toks[i + 1])[0], "big")
+            if toks[i + 2] == b"[":  # explicit destination array
+                j = i + 3
+                code = lo
+                while j < len(toks) and toks[j] != b"]":
+                    table[code] = hexes(toks[j])[0].decode(
+                        "utf-16-be", "replace")
+                    code += 1
+                    j += 1
+                i = j + 1
+            else:  # incrementing destination
+                dst = hexes(toks[i + 2])[0]
+                base = int.from_bytes(dst, "big")
+                for k in range(hi - lo + 1):
+                    table[lo + k] = (base + k).to_bytes(
+                        max(len(dst), 2), "big").decode("utf-16-be", "replace")
+                i += 3
+    return {"width": width, "map": table}
+
+
+def _decode_with_font(b: bytes, font) -> str:
+    """String bytes → text under the current font: split into
+    code units of the CMap's width and map each through /ToUnicode;
+    unmapped codes fall back to their Latin-1 byte meaning."""
+    if not font:
+        return _pdf_text(b)
+    w, table = font["width"], font["map"]
+    out = []
+    for i in range(0, len(b) - w + 1, w):
+        code = int.from_bytes(b[i:i + w], "big")
+        out.append(table.get(code, chr(code) if code < 0x110000 else ""))
+    return "".join(out)
+
+
 _LINE_OPS = frozenset((b"Td", b"TD", b"T*", b"Tm", b"BT"))
 _KERN_SPACE = -180  # thousandths of an em; larger negative kern = word gap
 
 
-def _content_text(content: bytes) -> str:
+def _content_text(content: bytes, fonts: dict | None = None) -> str:
     out: list[str] = []
     operands: list = []
     pending_nl = False
     shown = False
+    cur_font = None  # active /ToUnicode map, switched by Tf
     n = len(content)
     i = 0
 
@@ -565,19 +664,21 @@ def _content_text(content: bytes) -> str:
         op = content[i:j]
         i = j if j > i else i + 1
         if op == b"Tj" and operands and isinstance(operands[-1], bytes):
-            show(_pdf_text(operands[-1]))
+            show(_decode_with_font(operands[-1], cur_font))
         elif op == b"TJ" and operands and isinstance(operands[-1], list):
             buf = []
             for el in operands[-1]:
                 if isinstance(el, bytes):
-                    buf.append(_pdf_text(el))
+                    buf.append(_decode_with_font(el, cur_font))
                 elif isinstance(el, (int, float)) and el <= _KERN_SPACE:
                     buf.append(" ")
             show("".join(buf))
         elif op in (b"'", b'"'):
             pending_nl = True
             if operands and isinstance(operands[-1], bytes):
-                show(_pdf_text(operands[-1]))
+                show(_decode_with_font(operands[-1], cur_font))
+        elif op == b"Tf" and fonts and len(operands) >= 2:
+            cur_font = fonts.get(str(operands[-2]))
         elif op in _LINE_OPS:
             if op in (b"Td", b"TD"):
                 # only a vertical move is a new line
@@ -594,10 +695,13 @@ def _content_text(content: bytes) -> str:
 
 
 def extract_pdf_text(data: bytes) -> str:
-    """PDF bytes → extracted text; pages joined with newlines."""
+    """PDF bytes → extracted text; pages joined with newlines.
+    Per-page fonts' /ToUnicode CMaps decode subset-font glyph codes."""
     doc = PdfDocument(data)
     pages = doc.pages()
-    texts = [_content_text(doc.page_content(p)) for p in pages]
+    texts = [
+        _content_text(doc.page_content(p), doc.page_fonts(p)) for p in pages
+    ]
     return "\n".join(t for t in texts)
 
 
@@ -632,7 +736,8 @@ def decode_pdf_text(files: DataFrame) -> DataFrame:
                     doc = PdfDocument(bytes(blob))
                     pages = doc.pages()
                     texts.append("\n".join(
-                        _content_text(doc.page_content(p)) for p in pages))
+                        _content_text(doc.page_content(p), doc.page_fonts(p))
+                        for p in pages))
                     npages.append(len(pages))
                 except Exception:
                     texts.append(None)

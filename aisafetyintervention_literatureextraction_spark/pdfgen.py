@@ -46,6 +46,85 @@ def _esc_lit(text: str) -> bytes:
     return bytes(out)
 
 
+def _cmap_codes(pages: list[list[str]], two_byte: bool) -> dict[str, int]:
+    """Deterministic char → private glyph code assignment (the
+    subset-font situation: string bytes are meaningless without the
+    font's /ToUnicode CMap). 2-byte mode routes printable ASCII
+    through one contiguous range (exercises bfrange-increment) and
+    everything else through bfchar entries."""
+    chars: list[str] = []
+    seen: set[str] = set()
+    for pg in pages:
+        for ln in pg:
+            for ch in ln:
+                if ch not in seen:
+                    seen.add(ch)
+                    chars.append(ch)
+    codes: dict[str, int] = {}
+    if two_byte:
+        extra = 0x0200
+        for ch in chars:
+            o = ord(ch)
+            if 0x20 <= o <= 0x7E:
+                codes[ch] = 0x0100 + (o - 0x20)
+            else:
+                codes[ch] = extra
+                extra += 1
+    else:
+        for i, ch in enumerate(chars):
+            codes[ch] = i + 1
+    return codes
+
+
+def _cmap_stream(codes: dict[str, int], two_byte: bool) -> bytes:
+    """Serialize a /ToUnicode CMap (PDF 32000 §9.10.3): codespace
+    range, the ASCII bfrange (2-byte mode), and ≤100-entry bfchar
+    blocks; destinations are UTF-16BE."""
+    fmt = "%04x" if two_byte else "%02x"
+    lines = [
+        b"/CIDInit /ProcSet findresource begin",
+        b"12 dict begin",
+        b"begincmap",
+        b"/CMapName /Custom-UCS def",
+        b"1 begincodespacerange",
+        b"<0000> <ffff>" if two_byte else b"<00> <ff>",
+        b"endcodespacerange",
+    ]
+    if two_byte:
+        lines += [b"1 beginbfrange", b"<0100> <015e> <0020>", b"endbfrange"]
+        items = sorted(
+            ((ch, c) for ch, c in codes.items() if c >= 0x0200),
+            key=lambda kv: kv[1],
+        )
+    else:
+        items = sorted(codes.items(), key=lambda kv: kv[1])
+    for i in range(0, len(items), 100):
+        chunk = items[i:i + 100]
+        lines.append(b"%d beginbfchar" % len(chunk))
+        for ch, c in chunk:
+            lines.append(
+                b"<" + (fmt % c).encode() + b"> <"
+                + ch.encode("utf-16-be").hex().encode() + b">"
+            )
+        lines.append(b"endbfchar")
+    lines += [b"endcmap", b"CMap currentdict /CMap defineresource pop",
+              b"end", b"end"]
+    return b"\n".join(lines)
+
+
+def _line_ops_cmap(lines: list[str], codes: dict[str, int],
+                   two_byte: bool) -> bytes:
+    fmt = "%04x" if two_byte else "%02x"
+    ops = [b"BT", b"/F1 12 Tf", b"14 TL", b"72 720 Td"]
+    for k, ln in enumerate(lines):
+        if k > 0:
+            ops.append(b"0 -14 Td")
+        hx = "".join(fmt % codes[ch] for ch in ln)
+        ops.append(b"<" + hx.encode() + b"> Tj")
+    ops.append(b"ET")
+    return b"\n".join(ops)
+
+
 def _line_ops(lines: list[str], mode: str) -> bytes:
     """One page's text operators for the given show-operator mode."""
     ops = [b"BT", b"/F1 12 Tf", b"14 TL", b"72 720 Td"]
@@ -89,15 +168,26 @@ def build_pdf(pages: list[list[str]], *, mode: str = "tj",
     classic ``xref`` table + ``trailer`` is written.
     """
     n_pages = len(pages)
+    cmap_mode = mode in ("cmap", "cmap2")
+    two_byte = mode == "cmap2"
+    codes = _cmap_codes(pages, two_byte) if cmap_mode else None
     # object numbers: 1 catalog, 2 pages, 3 font, then per page
-    # (4+2i page dict, 5+2i content stream)
+    # (4+2i page dict, 5+2i content stream); cmap modes append the
+    # /ToUnicode stream after the content streams
     page_nums = [4 + 2 * i for i in range(n_pages)]
     content_nums = [5 + 2 * i for i in range(n_pages)]
+    tounicode_num = 4 + 2 * n_pages
     kids = b"[" + b" ".join(b"%d 0 R" % p for p in page_nums) + b"]"
+    font = (
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /AAAAAA+Subset "
+        b"/ToUnicode %d 0 R >>" % tounicode_num
+        if cmap_mode else
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
     dict_objs: dict[int, bytes] = {
         1: b"<< /Type /Catalog /Pages 2 0 R >>",
         2: b"<< /Type /Pages /Kids " + kids + b" /Count %d >>" % n_pages,
-        3: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        3: font,
     }
     for i, pn in enumerate(page_nums):
         dict_objs[pn] = (
@@ -106,13 +196,22 @@ def build_pdf(pages: list[list[str]], *, mode: str = "tj",
             b"/Contents %d 0 R >>" % content_nums[i])
     streams: dict[int, tuple[bytes, bytes]] = {}  # num -> (dict, body)
     for i, cn in enumerate(content_nums):
-        body = _line_ops(pages[i], mode)
+        body = (_line_ops_cmap(pages[i], codes, two_byte) if cmap_mode
+                else _line_ops(pages[i], mode))
         if flate:
             body = zlib.compress(body)
             streams[cn] = (
                 b"<< /Length %d /Filter /FlateDecode >>" % len(body), body)
         else:
             streams[cn] = (b"<< /Length %d >>" % len(body), body)
+    if cmap_mode:
+        cm = _cmap_stream(codes, two_byte)
+        if flate:
+            cm = zlib.compress(cm)
+            streams[tounicode_num] = (
+                b"<< /Length %d /Filter /FlateDecode >>" % len(cm), cm)
+        else:
+            streams[tounicode_num] = (b"<< /Length %d >>" % len(cm), cm)
 
     out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n" if xref_stream
                     else b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
@@ -192,7 +291,7 @@ def build_pdf(pages: list[list[str]], *, mode: str = "tj",
 # fixture corpus
 # ---------------------------------------------------------------------
 
-_MODES = ("tj", "tjarr", "quote", "hex")
+_MODES = ("tj", "tjarr", "quote", "hex", "cmap", "cmap2")
 
 
 def doc_pages(i: int, grammar: bool = False) -> list[list[str]]:

@@ -78,7 +78,7 @@ def test_escape_coverage():
     """Octal, paren, backslash and Latin-1 escapes survive the writer →
     reader loop in every show-operator mode."""
     tricky = ["a(b)c \\ d\te", "caf\xe9 — na\xefve"]
-    for mode in ("tj", "tjarr", "quote", "hex"):
+    for mode in ("tj", "tjarr", "quote", "hex", "cmap", "cmap2"):
         if mode == "tjarr":
             # kern-space reconstruction applies: words rejoin with ' '
             pass
@@ -146,3 +146,23 @@ def test_pdf_dir_full_pipeline(spark, tmp_path):
     stats2 = run_pipeline_pdfs(spark, d, wh)
     assert stats2["n_triples"] == stats["n_triples"]
     assert stats2["n_kg_edges"] == stats["n_kg_edges"]
+
+
+def test_tounicode_subset_font_decoding():
+    """Subset-font reality check (scholarly PDFs): string bytes are
+    PRIVATE glyph codes — garbage without the font's /ToUnicode CMap.
+    The cmap fixture modes round-trip exactly (1-byte bfchar and
+    2-byte bfrange-increment + codespace variants), and stripping the
+    /ToUnicode reference provably degrades the text — the mapping is
+    load-bearing, not decorative."""
+    from aisafetyintervention_literatureextraction_spark.pdfgen import (
+        build_pdf,
+    )
+
+    pages = [["Mapped: café [x]", "line two"], ["page2 end"]]
+    want = "Mapped: café [x]\nline two\npage2 end"
+    for mode in ("cmap", "cmap2"):
+        data = build_pdf(pages, mode=mode, flate=False)
+        assert extract_pdf_text(data) == want, mode
+        broken = data.replace(b"/ToUnicode", b"/ToUnicoXX")
+        assert extract_pdf_text(broken) != want, mode
