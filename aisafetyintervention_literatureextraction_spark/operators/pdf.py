@@ -16,7 +16,12 @@ stdlib-only (``re`` + ``zlib``):
 - **object streams**: type-2 xref entries resolve through
   ``/Type /ObjStm`` containers (``/N`` pairs + ``/First`` offset).
 - **filters**: FlateDecode (zlib, with PNG Up/Sub/Average/Paeth
-  row predictors) and ASCIIHexDecode.
+  row predictors), ASCIIHexDecode, ASCII85Decode, and LZWDecode
+  (TIFF variant, EarlyChange-aware).
+- **fonts**: per-page ``/Resources /Font`` resolution with page-tree
+  attribute inheritance; subset fonts decode through their
+  ``/ToUnicode`` CMap (codespace width, bfchar, both bfrange forms)
+  tracked across ``Tf`` switches.
 - **text operators**: page-tree walk (``/Root → /Pages → /Kids``),
   per-page ``/Contents`` concatenation, then a content-stream scan of
   ``BT``/``ET`` text objects handling ``Tj``, ``TJ`` (kern-aware:
@@ -221,6 +226,76 @@ def _parse_object(buf: bytes, i: int):
                 return Ref(num, int(m2.group(0))), k + 1
         return num, i
     raise ValueError(f"pdf: unparseable object at byte {i}")
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    """ASCII85Decode (PDF 32000 §7.4.3): base-85 groups, ``z`` for an
+    all-zero group, ``~>`` EOD, partial final group."""
+    data = re.sub(rb"\s", b"", data.split(b"~>")[0])
+    out = bytearray()
+    group: list[int] = []
+    for b in data:
+        if b == 0x7A:  # 'z'
+            if group:
+                raise ValueError("pdf: z inside ascii85 group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 0x21 <= b <= 0x75:
+            raise ValueError("pdf: bad ascii85 byte")
+        group.append(b - 0x21)
+        if len(group) == 5:
+            v = 0
+            for d in group:
+                v = v * 85 + d
+            out += v.to_bytes(4, "big")
+            group = []
+    if group:  # partial group: pad with 'u' (84), drop pad bytes
+        n = len(group)
+        for _ in range(5 - n):
+            group.append(84)
+        v = 0
+        for d in group:
+            v = v * 85 + d
+        out += v.to_bytes(4, "big")[: n - 1]
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """LZWDecode (PDF 32000 §7.4.4 — the TIFF/PDF LZW variant): 9-12
+    bit variable codes MSB-first, 256=clear, 257=EOD, table rebuild on
+    clear, width bump at 511/1023/2047 (minus ``EarlyChange``)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (acc >> nbits) & ((1 << width) - 1)
+            if code == 256:  # clear table
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:  # KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            if len(table) + early_change - 1 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
 
 
 def _png_unpredict(data: bytes, columns: int, colors: int = 1,
@@ -456,6 +531,7 @@ class PdfDocument:
             parms = [parms] * len(filters)
         for filt, pp in zip(filters, parms):
             name = str(filt)
+            pp = self.resolve(pp)
             if name == "FlateDecode":
                 data = zlib.decompress(data)
             elif name == "ASCIIHexDecode":
@@ -464,9 +540,15 @@ class PdfDocument:
                 if len(hx) % 2:
                     hx += b"0"
                 data = bytes.fromhex(hx.decode("ascii"))
+            elif name == "ASCII85Decode":
+                data = _ascii85_decode(data)
+            elif name == "LZWDecode":
+                ec = 1
+                if isinstance(pp, dict):
+                    ec = int(self.resolve(pp.get("EarlyChange", 1)) or 1)
+                data = _lzw_decode(data, early_change=ec)
             else:
                 raise ValueError(f"pdf: unsupported filter {name}")
-            pp = self.resolve(pp)
             if isinstance(pp, dict):
                 pred = int(self.resolve(pp.get("Predictor", 1)) or 1)
                 if pred >= 10:

@@ -159,14 +159,32 @@ def _line_ops(lines: list[str], mode: str) -> bytes:
 
 
 def build_pdf(pages: list[list[str]], *, mode: str = "tj",
-              flate: bool = False, xref_stream: bool = False) -> bytes:
+              flate: bool = False, xref_stream: bool = False,
+              stream_filter: str | None = None) -> bytes:
     """Serialize a complete PDF showing ``pages`` (lists of text lines).
 
     ``xref_stream=True`` emits a PDF 1.5 file: the dict objects live in
     a ``/Type /ObjStm`` container indexed by a cross-reference stream
     (``/W [1 4 2]``, FlateDecode + PNG Predictor 12); otherwise a
     classic ``xref`` table + ``trailer`` is written.
+    ``stream_filter`` selects the content-stream encoding: None,
+    "flate", "a85" (ASCII85Decode) or "lzw" (LZWDecode); ``flate=True``
+    is the legacy spelling of stream_filter="flate".
     """
+    if stream_filter is None and flate:
+        stream_filter = "flate"
+
+    def enc_stream(body: bytes) -> tuple[bytes, bytes]:
+        if stream_filter == "flate":
+            body = zlib.compress(body)
+            return (b"<< /Length %d /Filter /FlateDecode >>" % len(body), body)
+        if stream_filter == "a85":
+            body = ascii85_encode(body)
+            return (b"<< /Length %d /Filter /ASCII85Decode >>" % len(body), body)
+        if stream_filter == "lzw":
+            body = lzw_encode(body)
+            return (b"<< /Length %d /Filter /LZWDecode >>" % len(body), body)
+        return (b"<< /Length %d >>" % len(body), body)
     n_pages = len(pages)
     cmap_mode = mode in ("cmap", "cmap2")
     two_byte = mode == "cmap2"
@@ -198,20 +216,9 @@ def build_pdf(pages: list[list[str]], *, mode: str = "tj",
     for i, cn in enumerate(content_nums):
         body = (_line_ops_cmap(pages[i], codes, two_byte) if cmap_mode
                 else _line_ops(pages[i], mode))
-        if flate:
-            body = zlib.compress(body)
-            streams[cn] = (
-                b"<< /Length %d /Filter /FlateDecode >>" % len(body), body)
-        else:
-            streams[cn] = (b"<< /Length %d >>" % len(body), body)
+        streams[cn] = enc_stream(body)
     if cmap_mode:
-        cm = _cmap_stream(codes, two_byte)
-        if flate:
-            cm = zlib.compress(cm)
-            streams[tounicode_num] = (
-                b"<< /Length %d /Filter /FlateDecode >>" % len(cm), cm)
-        else:
-            streams[tounicode_num] = (b"<< /Length %d >>" % len(cm), cm)
+        streams[tounicode_num] = enc_stream(_cmap_stream(codes, two_byte))
 
     out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n" if xref_stream
                     else b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
@@ -327,11 +334,14 @@ def expected_text(i: int, grammar: bool = False) -> str:
     return "\n".join("\n".join(pg) for pg in doc_pages(i, grammar=grammar))
 
 
+_FILTERS = (None, "flate", "a85", "lzw")
+
+
 def build_doc(i: int, grammar: bool = False) -> bytes:
     return build_pdf(
         doc_pages(i, grammar=grammar),
         mode=_MODES[i % len(_MODES)],
-        flate=(i % 2 == 1),
+        stream_filter=_FILTERS[i % len(_FILTERS)],
         xref_stream=(i % 3 == 0),
     )
 
@@ -354,3 +364,69 @@ def ensure_pdf_fixture(dirpath: str, n_docs: int = 16,
         if not txt.exists() or txt.read_text(encoding="utf-8") != body:
             txt.write_text(body, encoding="utf-8")
     return str(d)
+
+
+# -- extra stream filters (writer side, round-trip fixtures) ----------
+
+def ascii85_encode(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 4):
+        chunk = data[i:i + 4]
+        n = len(chunk)
+        v = int.from_bytes(chunk + b"\x00" * (4 - n), "big")
+        if v == 0 and n == 4:
+            out += b"z"
+            continue
+        digits = []
+        for _ in range(5):
+            digits.append(v % 85)
+            v //= 85
+        enc = bytes(0x21 + d for d in reversed(digits))
+        out += enc[: n + 1]
+    return bytes(out) + b"~>"
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """TIFF/PDF-variant LZW (EarlyChange=1): emits Clear, data codes
+    with 9→12-bit width bumps aligned to the decoder's table growth,
+    and EOD; table resets before overflow."""
+    codes: list[tuple[int, int]] = []
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    codes.append((256, width))
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        codes.append((table[w], width))
+        table[wc] = next_code
+        next_code += 1
+        # EarlyChange=1: the decoder widens when its table size
+        # reaches 2^width; its table lags the encoder's next_code by
+        # one, so the encoder widens when next_code - 1 crosses
+        if next_code - 1 >= (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4095:  # reset before the 12-bit table fills
+            codes.append((256, width))
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([byte])
+    if w:
+        codes.append((table[w], width))
+    codes.append((257, width))
+    acc = 0
+    nbits = 0
+    out = bytearray()
+    for code, cw in codes:
+        acc = (acc << cw) | code
+        nbits += cw
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)

@@ -166,3 +166,32 @@ def test_tounicode_subset_font_decoding():
         assert extract_pdf_text(data) == want, mode
         broken = data.replace(b"/ToUnicode", b"/ToUnicoXX")
         assert extract_pdf_text(broken) != want, mode
+
+
+def test_ascii85_and_lzw_filters():
+    """ASCII85Decode and LZWDecode content streams round-trip (the
+    pre-Flate filters still common in older real PDFs); the writer's
+    TIFF-variant LZW (EarlyChange=1 width bumps, table reset) is
+    pinned against the reader over random and repetitive payloads."""
+    import random
+
+    from aisafetyintervention_literatureextraction_spark.operators.pdf import (
+        _ascii85_decode,
+        _lzw_decode,
+    )
+    from aisafetyintervention_literatureextraction_spark.pdfgen import (
+        ascii85_encode,
+        build_pdf,
+        lzw_encode,
+    )
+
+    pages = [["filter test (A) \\ B", "línea dos"]]
+    want = "filter test (A) \\ B\nlínea dos"
+    for filt in ("a85", "lzw"):
+        data = build_pdf(pages, stream_filter=filt)
+        assert extract_pdf_text(data) == want, filt
+    rng = random.Random(11)
+    for blob in (b"", b"Q", b"ab" * 3000, bytes(range(256)) * 20,
+                 bytes(rng.randrange(256) for _ in range(30000))):
+        assert _ascii85_decode(ascii85_encode(blob)) == blob
+        assert _lzw_decode(lzw_encode(blob)) == blob
