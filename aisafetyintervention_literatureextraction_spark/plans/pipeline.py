@@ -520,6 +520,10 @@ def main() -> None:
     ap.add_argument("--stream", action="store_true",
                     help="ingest stages A+B as an exactly-once "
                          "AvailableNow stream, then run C/D catch-up")
+    ap.add_argument("--cd-every", type=int, default=None,
+                    help="with --stream: run the delta-aware stages C+D "
+                         "INSIDE the stream loop after every N "
+                         "micro-batches, so kg tables converge live")
     args = ap.parse_args()
     if not args.transcripts and not args.pdf_dir:
         ap.error("one of --transcripts or --pdf-dir is required")
@@ -530,7 +534,8 @@ def main() -> None:
         )
     elif args.stream:
         stats = run_pipeline_streaming(
-            spark, args.transcripts, args.warehouse, extract_engine=args.engine
+            spark, args.transcripts, args.warehouse,
+            cd_every=args.cd_every, extract_engine=args.engine
         )
     else:
         from ..sources.transcripts import read_transcripts
