@@ -593,17 +593,25 @@ class PdfDocument:
         entry's CMap so the text assembler can decode per-font."""
         res = self.resolve(page.get("Resources")) or {}
         fonts = self.resolve(res.get("Font")) or {}
+        if not hasattr(self, "_cmap_cache"):
+            self._cmap_cache: dict[int, object] = {}
         out = {}
         for name, ref in fonts.items():
             fd = self.resolve(ref)
             cmap = None
             if isinstance(fd, dict) and "ToUnicode" in fd:
-                stm = self.resolve(fd["ToUnicode"])
-                if isinstance(stm, _Stream):
-                    try:
-                        cmap = _parse_tounicode(self._decode_stream(stm))
-                    except Exception:
-                        cmap = None
+                tu = fd["ToUnicode"]
+                key = tu.num if isinstance(tu, Ref) else id(tu)
+                if key in self._cmap_cache:  # same font across pages
+                    cmap = self._cmap_cache[key]
+                else:
+                    stm = self.resolve(tu)
+                    if isinstance(stm, _Stream):
+                        try:
+                            cmap = _parse_tounicode(self._decode_stream(stm))
+                        except Exception:
+                            cmap = None
+                    self._cmap_cache[key] = cmap
             out[name] = cmap
         return out
 

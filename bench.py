@@ -244,6 +244,45 @@ def bench_ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 32) -> di
     return {"k": k, "n_queries": len(exact), "lsh_recall": lsh, "ivf_recall": ivf}
 
 
+def bench_pdf_throughput(spark, n_docs: int = 512) -> dict:
+    """PDF-ingest throughput (the round-4 input path): decode a
+    deterministic grammar corpus of ``n_docs`` PDFs (all four stream
+    filters × six show-op modes incl. subset-font CMaps) through the
+    distributed binaryFile → mapInPandas path and report docs/s +
+    MB/s. Generation is cached on disk across runs; only the decode
+    pass is timed."""
+    from aisafetyintervention_literatureextraction_spark.operators.pdf import (
+        decode_pdf_text,
+    )
+    from aisafetyintervention_literatureextraction_spark.pdfgen import (
+        ensure_pdf_fixture,
+    )
+    from aisafetyintervention_literatureextraction_spark.sources.raw_files import (
+        read_raw_files,
+    )
+
+    d = f"/tmp/kgbench_pdfs_n{n_docs}"
+    ensure_pdf_fixture(d, n_docs=n_docs, grammar=True)
+    total_bytes = sum(
+        f.stat().st_size for f in __import__("pathlib").Path(d).glob("*.pdf")
+    )
+    walls = []
+    for _ in range(2):
+        t0 = time.time()
+        n = decode_pdf_text(read_raw_files(spark, d, glob="*.pdf")).filter(
+            "doc_text IS NOT NULL"
+        ).count()
+        walls.append(time.time() - t0)
+    wall = min(walls)
+    return {
+        "n_docs": n,
+        "total_mb": round(total_bytes / 1e6, 2),
+        "wall_s": round(wall, 2),
+        "docs_per_sec": round(n / wall, 1),
+        "mb_per_sec": round(total_bytes / 1e6 / wall, 2),
+    }
+
+
 def bench_cc_skew(spark, n_nodes: int = 200_000) -> dict:
     """Connected-components under a SINGLE GIANT COMPONENT (r3 VERDICT
     next-step #4): the jump join keys on ``component_id``, which is hot
@@ -357,8 +396,10 @@ def run_once(cpus: int, sf_dir: str, skip_queries: bool = False,
         queries = {} if skip_queries else bench_queries(spark, sf_dir)
         bucketed = {} if skip_queries else bench_bucketed(spark, path)
         ann = {} if skip_queries else bench_ann_recall(spark, sf_dir)
+        pdf = {} if skip_queries else bench_pdf_throughput(spark)
         return {"extraction": ext, "queries": queries,
                 "bucketed_input": bucketed, "ann_recall": ann,
+                "pdf_ingest": pdf,
                 "n_convs": n_convs,
                 "host": _host_delta(h0, _host_sample())}
     finally:
@@ -511,6 +552,7 @@ def main() -> None:
         "extraction_wall_s": round(res["extraction"]["wall_s"], 2),
         "bucketed_input": res["bucketed_input"],
         "ann_recall": res["ann_recall"],
+        "pdf_ingest": res["pdf_ingest"],
         "host": res["host"],
         "valid": not res["host"]["degraded"],
         "cpus": args.cpus,
