@@ -77,8 +77,11 @@ def stage_a_reassemble(cat: Catalog, transcripts: DataFrame, cfg: PipelineConfig
     docs = caching.track(res.documents)
     quarantine = caching.track(res.quarantine)
     cat.append(docs, "documents", run_id=run_id)
-    if cat.exists("quarantine") or quarantine.limit(1).count() > 0:
-        cat.append(quarantine, "quarantine", run_id=run_id)
+    # unconditional append: an empty delta writes an empty entry —
+    # cheaper than the limit(1).count() existence probe job that used
+    # to gate this (r3 VERDICT nit), and the table existing (possibly
+    # empty) is the steady state anyway
+    cat.append(quarantine, "quarantine", run_id=run_id)
     processed = docs.select("conv_id").union(quarantine.select("conv_id")).distinct()
     ckpt.mark_processed(cat, "A_reassemble", run_id, processed)  # commit point
     ckpt.write_lineage(cat, "A_reassemble", run_id, docs)
@@ -126,8 +129,7 @@ def stage_a_ingest_documents(
         )
     )
     cat.append(good, "documents", run_id=run_id)
-    if cat.exists("quarantine") or bad.limit(1).count() > 0:
-        cat.append(bad, "quarantine", run_id=run_id)
+    cat.append(bad, "quarantine", run_id=run_id)  # empty delta is fine
     processed = good.select("conv_id").union(bad.select("conv_id")).distinct()
     ckpt.mark_processed(cat, "A_reassemble", run_id, processed)  # commit point
     ckpt.write_lineage(cat, "A_reassemble", run_id, good)

@@ -136,8 +136,9 @@ def _process_ab_batch(
     docs = caching.track(res.documents)
     quar = caching.track(res.quarantine)
     catalog.append(docs, "documents", run_id=run_id)
-    if catalog.exists("quarantine") or quar.limit(1).count() > 0:
-        catalog.append(quar, "quarantine", run_id=run_id)
+    # unconditional (matches batch stage A): an empty delta writes an
+    # empty entry — cheaper than a limit(1) existence-probe job per batch
+    catalog.append(quar, "quarantine", run_id=run_id)
     catalog.append(  # K2 raw-input audit, replay contract as batch
         docs.select(
             F.lit(run_id).alias("run_id"), "conv_id", "n_turns", "doc_text"
