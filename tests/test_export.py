@@ -1,0 +1,76 @@
+"""Cypher export sink: the reference's FalkorDB ingestion statements
+(db.py:36-60) regenerated FROM the kg tables, with its lit() quoting
+contract (db.py:15-25) and a FIX for its raw-identifier injection."""
+
+import pytest
+
+from aisafetyintervention_literatureextraction_spark.operators.export import (
+    cypher_edge_statements,
+    cypher_node_statements,
+    export_cypher,
+)
+
+
+def test_node_statement_quoting(spark):
+    nodes = spark.createDataFrame(
+        [
+            ("n1", "Intervention", "O'Brien \\ test", ["a'b", "c\\d"], None, 2),
+            ("n2", "weird type!", "plain", None, "desc", None),
+        ],
+        "node_id string, type string, canonical_name string, "
+        "aliases array<string>, description string, n_merged int",
+    )
+    out = {r["stmt"] for r in cypher_node_statements(nodes).collect()}
+    assert (
+        "MERGE (n:INTERVENTION {id: 'n1'}) SET n.name = 'O\\'Brien \\\\ test', "
+        "n.aliases = ['a\\'b', 'c\\\\d'], n.description = NULL, n.n_merged = 2;"
+    ) in out
+    # identifier position sanitized, not quoted (injection fix);
+    # null numeric renders as NULL
+    assert (
+        "MERGE (n:WEIRD_TYPE_ {id: 'n2'}) SET n.name = 'plain', "
+        "n.aliases = NULL, n.description = 'desc', n.n_merged = NULL;"
+    ) in out
+
+
+def test_edge_statement_and_identifier_injection(spark):
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", "mitigates", "why", "high"),
+            ("a", "b", "]->(x) DETACH DELETE x //", "inj", None),
+            ("a", "b", None, None, "low"),
+        ],
+        "src string, dst string, pred string, description string, "
+        "edge_confidence string",
+    )
+    out = [r["stmt"] for r in cypher_edge_statements(edges).collect()]
+    assert (
+        "MATCH (a {id: 'a'}), (b {id: 'b'}) MERGE (a)-[r:MITIGATES]->(b) "
+        "SET r.description = 'why', r.confidence = 'high';"
+    ) in out
+    # a hostile pred cannot break out of the identifier position
+    assert any("[r:_X_DETACH_DELETE_X_" in s for s in out)
+    assert not any("]->(x) DETACH" in s for s in out)
+    # null pred falls back to the default relationship type
+    assert any("[r:RELATED_TO]" in s for s in out)
+
+
+def test_export_cypher_end_to_end(spark, corpus, warehouse, tmp_path):
+    """Full pipeline → export: every kg node/edge becomes exactly one
+    statement, nodes dir loads before edges dir."""
+    from aisafetyintervention_literatureextraction_spark.catalog import Catalog
+    from aisafetyintervention_literatureextraction_spark.plans.pipeline import (
+        run_pipeline,
+    )
+
+    df, _ = corpus
+    run_pipeline(spark, df, warehouse)
+    cat = Catalog(spark, warehouse)
+    counts = export_cypher(cat, str(tmp_path / "cypher"))
+    assert counts["n_node_statements"] == cat.read("kg_nodes").count()
+    assert counts["n_edge_statements"] == cat.read("kg_edges").count()
+    stmts = [
+        r["value"]
+        for r in spark.read.text(str(tmp_path / "cypher") + "/nodes").collect()
+    ]
+    assert all(s.startswith("MERGE (n:") and s.endswith(";") for s in stmts)
