@@ -454,6 +454,9 @@ def run_pipeline_pdfs(
     stage_b_extract(cat, cfg)
     stage_c_canonicalize(cat, cfg)
     stage_d_materialize(cat, cfg)
+    for t in (ckpt.STATE, ckpt.LINEAGE, ckpt.METRICS):
+        if cat.maybe_compact(t):
+            cat.vacuum(t, keep_versions=4)
     caching.release_caches()
     wall = time.time() - t0
     n_triples = cat.read("triples_raw").count()
