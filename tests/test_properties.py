@@ -190,3 +190,71 @@ def test_lossless_codec_roundtrips(h, w, ncolors, seed):
     img = palette[rng.integers(0, ncolors, size=(h, w))]
     np.testing.assert_array_equal(decode_png(encode_png(img)), img)
     np.testing.assert_array_equal(decode_gif(encode_gif([img]))[0], img)
+
+
+# -- r4: PDF round-trip property (no Spark; pure codec) ----------------
+
+# PDF text model: the assembler emits "\n" between lines and cannot
+# represent empty lines or leading/trailing whitespace-only artifacts,
+# so lines are non-empty and newline-free; everything else (any
+# printable unicode, quotes, backslashes, brackets) must survive.
+_pdf_line_st = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs", "Cc"),
+        blacklist_characters="\x00",
+    ),
+    min_size=1,
+    max_size=60,
+).filter(lambda s: s.strip() == s and s != "")
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    lines=st.lists(_pdf_line_st, min_size=1, max_size=6),
+    mode=st.sampled_from(["tj", "quote", "hex", "cmap", "cmap2"]),
+    filt=st.sampled_from([None, "flate", "a85", "lzw"]),
+    xref_stream=st.booleans(),
+)
+def test_pdf_roundtrip_property(lines, mode, filt, xref_stream):
+    """ANY text survives writer → reader for every show-op mode ×
+    stream filter × xref flavor (tjarr excluded: its kern-space
+    reconstruction is only exact for single-spaced words)."""
+    from aisafetyintervention_literatureextraction_spark.operators.pdf import (
+        extract_pdf_text,
+    )
+    from aisafetyintervention_literatureextraction_spark.pdfgen import (
+        build_pdf,
+    )
+
+    data = build_pdf([lines], mode=mode, stream_filter=filt,
+                     xref_stream=xref_stream)
+    assert extract_pdf_text(data) == "\n".join(lines)
+
+
+@settings(**_SETTINGS)
+@given(s=st.one_of(st.none(), text_st))
+def test_cypher_quoting_property(spark, s):
+    """cypher_str round-trips: un-escaping the emitted literal
+    recovers the input exactly (the reference's lit() contract), and
+    the literal never contains an unescaped quote."""
+    from aisafetyintervention_literatureextraction_spark.operators.export import (
+        cypher_str,
+    )
+
+    df = spark.createDataFrame([(s,)], "v string")
+    lit = df.select(cypher_str(F.col("v")).alias("q")).collect()[0]["q"]
+    if s is None:
+        assert lit == "NULL"
+        return
+    assert lit.startswith("'") and lit.endswith("'")
+    body = lit[1:-1]
+    # no unescaped single quote inside the literal body
+    k = 0
+    while k < len(body):
+        if body[k] == "\\":
+            k += 2
+            continue
+        assert body[k] != "'"
+        k += 1
+    unescaped = body.replace("\\\\", "\x00").replace("\\'", "'").replace("\x00", "\\")
+    assert unescaped == s
