@@ -106,13 +106,20 @@ def cypher_edge_statements(edges: DataFrame) -> DataFrame:
 def export_cypher(catalog, out_dir: str) -> dict:
     """Write the warehouse graph as a distributed Cypher script:
     ``<out>/nodes/part-*.txt`` then ``<out>/edges/part-*.txt``
-    (load nodes first). Returns statement counts."""
-    nodes = cypher_node_statements(catalog.read("kg_nodes"))
-    edges = cypher_edge_statements(catalog.read("kg_edges"))
+    (load nodes first). Returns statement counts, collected via
+    ``Observation`` metrics on the write itself — no re-read jobs."""
+    from pyspark.sql import Observation
+
+    obs_n, obs_e = Observation("nodes"), Observation("edges")
+    nodes = cypher_node_statements(catalog.read("kg_nodes")).observe(
+        obs_n, F.count(F.lit(1)).alias("n")
+    )
+    edges = cypher_edge_statements(catalog.read("kg_edges")).observe(
+        obs_e, F.count(F.lit(1)).alias("n")
+    )
     nodes.write.mode("overwrite").text(f"{out_dir}/nodes")
     edges.write.mode("overwrite").text(f"{out_dir}/edges")
-    spark = catalog.spark
     return {
-        "n_node_statements": spark.read.text(f"{out_dir}/nodes").count(),
-        "n_edge_statements": spark.read.text(f"{out_dir}/edges").count(),
+        "n_node_statements": obs_n.get["n"],
+        "n_edge_statements": obs_e.get["n"],
     }

@@ -529,6 +529,10 @@ def main() -> None:
                     help="with --stream: run the delta-aware stages C+D "
                          "INSIDE the stream loop after every N "
                          "micro-batches, so kg tables converge live")
+    ap.add_argument("--export-cypher", metavar="DIR", default=None,
+                    help="after the run, write the graph as an "
+                         "idempotent Cypher MERGE script (nodes/ then "
+                         "edges/ text parts) for FalkorDB/Neo4j loading")
     args = ap.parse_args()
     if not args.transcripts and not args.pdf_dir:
         ap.error("one of --transcripts or --pdf-dir is required")
@@ -549,6 +553,11 @@ def main() -> None:
         stats = run_pipeline(
             spark, transcripts, args.warehouse, extract_engine=args.engine
         )
+    if args.export_cypher:
+        from ..operators.export import export_cypher
+
+        cat = make_catalog(spark, args.warehouse)
+        stats.update(export_cypher(cat, args.export_cypher))
     print(stats)
 
 
