@@ -7,7 +7,7 @@ with IDENTICAL column names/types. Float-valued outputs are either
 integer-derived (exact in both engines) or rounded after identical
 element-order arithmetic; similarity queries emit rank/ids only.
 
-Every query has an oracle (34/34 since r2): LSH-blocked dedup/ANN
+Every query has an oracle (40/40 as of r4; 34/34 since r2): LSH-blocked dedup/ANN
 queries emit their exact-verified FINAL predicate (Jaccard / quantized
 cosine rank), which the oracle computes over all pairs — only the
 candidate generation is engine-specific, and its recall is complete on
