@@ -585,6 +585,23 @@ class PdfDocument:
         walk(root.get("Pages"))
         return out
 
+    def info(self) -> dict:
+        """Document metadata from the trailer ``/Info`` dictionary
+        (Title/Author/Subject…) — provenance columns for the KG
+        (scholarly corpora carry the paper title here). String values
+        decode with the standard BOM rule."""
+        d = self.resolve(self.trailer.get("Info"))
+        if not isinstance(d, dict):
+            return {}
+        out = {}
+        for k, v in d.items():
+            v = self.resolve(v)
+            if isinstance(v, bytes):
+                out[str(k)] = _pdf_text(v)
+            elif isinstance(v, (str, int, float, bool)):
+                out[str(k)] = v
+        return out
+
     def page_fonts(self, page: dict) -> dict:
         """Font name → ToUnicode code map (or None) for one page.
         Real scholarly PDFs embed SUBSET fonts whose string bytes are
@@ -807,6 +824,8 @@ PDF_DOC_SCHEMA = StructType([
     StructField("conv_id", StringType(), False),
     StructField("doc_text", StringType(), True),
     StructField("n_pages", IntegerType(), True),
+    StructField("title", StringType(), True),     # trailer /Info provenance
+    StructField("author", StringType(), True),
 ])
 
 
@@ -821,6 +840,8 @@ def decode_pdf_text(files: DataFrame) -> DataFrame:
         for pdf in batches:
             texts: list[Optional[str]] = []
             npages: list[Optional[int]] = []
+            titles: list[Optional[str]] = []
+            authors: list[Optional[str]] = []
             for blob in pdf["content"]:
                 try:
                     doc = PdfDocument(bytes(blob))
@@ -829,13 +850,20 @@ def decode_pdf_text(files: DataFrame) -> DataFrame:
                         _content_text(doc.page_content(p), doc.page_fonts(p))
                         for p in pages))
                     npages.append(len(pages))
+                    info = doc.info()
+                    titles.append(info.get("Title"))
+                    authors.append(info.get("Author"))
                 except Exception:
                     texts.append(None)
                     npages.append(None)
+                    titles.append(None)
+                    authors.append(None)
             yield pd.DataFrame({
                 "conv_id": pdf["doc_id"].astype(str),
                 "doc_text": pd.array(texts, dtype="string"),
                 "n_pages": pd.array(npages, dtype="Int32"),
+                "title": pd.array(titles, dtype="string"),
+                "author": pd.array(authors, dtype="string"),
             })
 
     return files.select("doc_id", "content").mapInPandas(

@@ -160,7 +160,8 @@ def _line_ops(lines: list[str], mode: str) -> bytes:
 
 def build_pdf(pages: list[list[str]], *, mode: str = "tj",
               flate: bool = False, xref_stream: bool = False,
-              stream_filter: str | None = None) -> bytes:
+              stream_filter: str | None = None,
+              info: dict | None = None) -> bytes:
     """Serialize a complete PDF showing ``pages`` (lists of text lines).
 
     ``xref_stream=True`` emits a PDF 1.5 file: the dict objects live in
@@ -219,6 +220,12 @@ def build_pdf(pages: list[list[str]], *, mode: str = "tj",
         streams[cn] = enc_stream(body)
     if cmap_mode:
         streams[tounicode_num] = enc_stream(_cmap_stream(codes, two_byte))
+    info_num = tounicode_num + (1 if cmap_mode else 0)
+    if info:
+        body = b"<<"
+        for k, v in sorted(info.items()):
+            body += b" /" + k.encode("ascii") + b" (" + _esc_lit(str(v)) + b")"
+        dict_objs[info_num] = body + b" >>"
 
     out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n" if xref_stream
                     else b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
@@ -242,9 +249,10 @@ def build_pdf(pages: list[list[str]], *, mode: str = "tj",
         out.extend(b"0000000000 65535 f \n")
         for num in range(1, max_num):
             out.extend(b"%010d 00000 n \n" % offsets[num])
+        info_ref = b" /Info %d 0 R" % info_num if info else b""
         out.extend(
-            b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-            % (max_num, xref_off))
+            b"trailer\n<< /Size %d /Root 1 0 R%s >>\nstartxref\n%d\n%%%%EOF\n"
+            % (max_num, info_ref, xref_off))
         return bytes(out)
 
     # -- PDF 1.5: object stream + cross-reference stream ---------------
@@ -256,7 +264,7 @@ def build_pdf(pages: list[list[str]], *, mode: str = "tj",
     for num in stm_nums:
         header += b"%d %d " % (num, len(bodies))
         bodies += dict_objs[num] + b"\n"
-    objstm_num = max(streams) + 1
+    objstm_num = max(max(streams), max(dict_objs)) + 1
     xref_num = objstm_num + 1
     objstm_body = zlib.compress(bytes(header) + bytes(bodies))
     emit_stream(
@@ -283,13 +291,15 @@ def build_pdf(pages: list[list[str]], *, mode: str = "tj",
     for r in range(0, len(rows), rowlen):
         predicted += b"\x00" + rows[r:r + rowlen]
     xref_body = zlib.compress(bytes(predicted))
-    emit_stream(
-        xref_num,
-        b"<< /Type /XRef /Size %d /Root 1 0 R /W [1 4 2] /Index [0 %d] "
-        b"/Filter /FlateDecode "
-        b"/DecodeParms << /Predictor 12 /Columns 7 >> /Length %d >>"
-        % (size, size, len(xref_body)),
-        xref_body)
+    info_ref = b" /Info %d 0 R" % info_num if info else b""
+    xref_dict = (
+        b"<< /Type /XRef /Size %d /Root 1 0 R" % size
+        + info_ref
+        + b" /W [1 4 2] /Index [0 %d] /Filter /FlateDecode "
+          b"/DecodeParms << /Predictor 12 /Columns 7 >> /Length %d >>"
+        % (size, len(xref_body))
+    )
+    emit_stream(xref_num, xref_dict, xref_body)
     out.extend(b"startxref\n%d\n%%%%EOF\n" % xref_off)
     return bytes(out)
 
@@ -343,6 +353,8 @@ def build_doc(i: int, grammar: bool = False) -> bytes:
         mode=_MODES[i % len(_MODES)],
         stream_filter=_FILTERS[i % len(_FILTERS)],
         xref_stream=(i % 3 == 0),
+        info={"Title": f"Paper {i}: safety interventions",
+              "Author": f"Author {i % 5} (lab'{i})"},
     )
 
 

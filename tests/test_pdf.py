@@ -86,6 +86,17 @@ def test_escape_coverage():
         assert got == "\n".join(tricky), mode
 
 
+def test_info_metadata():
+    """Trailer /Info provenance (Title/Author) survives both xref
+    flavors and reaches the decode schema's title/author columns."""
+    data = build_doc(4)  # classic xref
+    info = PdfDocument(data).info()
+    assert info["Title"] == "Paper 4: safety interventions"
+    assert info["Author"] == "Author 4 (lab'4)"
+    data = build_doc(6)  # xref stream: /Info lives in the stream dict
+    assert PdfDocument(data).info()["Title"].startswith("Paper 6")
+
+
 def test_decode_pdf_text_distributed(spark, tmp_path):
     """binaryFile scan → Arrow-batched decode → (conv_id, doc_text)
     matches the sidecar text for every doc; a corrupt PDF yields a
@@ -97,8 +108,9 @@ def test_decode_pdf_text_distributed(spark, tmp_path):
     assert len(rows) == N_DOCS + 1
     for i in range(N_DOCS):
         assert rows[f"doc_{i:03d}"].doc_text == expected_text(i)
+        assert rows[f"doc_{i:03d}"].title == f"Paper {i}: safety interventions"
     bad = rows["doc_bad"]
-    assert bad.doc_text == "" and bad.n_pages == 0
+    assert bad.doc_text == "" and bad.n_pages == 0 and bad.title is None
 
 
 def test_pdf_dir_to_mentions_end_to_end(spark, tmp_path):
