@@ -31,10 +31,17 @@ from pyspark.sql import functions as F
 def cypher_str(col: Column) -> Column:
     """The reference's ``lit()`` for strings as a column expression:
     backslashes doubled, single quotes escaped, wrapped in quotes;
-    NULL for null (reference db.py:15-25)."""
+    NULL for null (reference db.py:15-25).  Literal newlines and
+    carriage returns become ``\\n`` / ``\\r`` escapes so one MERGE
+    statement stays one line in the ``df.write.text`` output — the
+    sink's stated contract for line-oriented loaders."""
     escaped = F.regexp_replace(
-        F.regexp_replace(col.cast("string"), r"\\", r"\\\\"), r"'", r"\\'"
-    )
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(col.cast("string"), r"\\", r"\\\\"),
+                r"'", r"\\'"),
+            "\n", r"\\n"),
+        "\r", r"\\r")
     return F.when(col.isNull(), F.lit("NULL")).otherwise(
         F.concat(F.lit("'"), escaped, F.lit("'"))
     )

@@ -293,7 +293,11 @@ def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
                 table.append(entry)
             out += entry
             prev = entry
-            if len(table) + early_change - 1 >= (1 << width) and width < 12:
+            # TIFF/PDF convention (pdfminer, qpdf): with EarlyChange=1 the
+            # width bumps when the table reaches 511/1023/2047 entries —
+            # one entry *early*, i.e. before the table actually fills the
+            # current width.
+            if len(table) + early_change >= (1 << width) and width < 12:
                 width += 1
     return bytes(out)
 
@@ -375,7 +379,13 @@ class PdfDocument:
             self.xref[num] = entry
 
     def _load_xref_table(self, i: int) -> Optional[int]:
+        # Classic entries are collected and applied only after any
+        # hybrid-reference /XRefStm loads: PDF 32000 §7.5.8.4 lets the
+        # classic section mark XRefStm-covered objects free, and the
+        # stream's entries take precedence over its own section (but
+        # both still win over older /Prev sections — first-seen-wins).
         data = self.data
+        pending: list[tuple[int, tuple[str, int, int]]] = []
         while True:
             i = _skip_ws(data, i)
             if data[i:i + 7] == b"trailer":
@@ -384,6 +394,8 @@ class PdfDocument:
                     self.trailer.setdefault(k, v)
                 if "XRefStm" in tr:  # hybrid-reference file
                     self._load_xref_stream(int(tr["XRefStm"]))
+                for num, entry in pending:
+                    self._set(num, entry)
                 prev = tr.get("Prev")
                 return int(prev) if prev is not None else None
             m = re.match(rb"(\d+)\s+(\d+)", data[i:i + 40])
@@ -394,7 +406,14 @@ class PdfDocument:
             for k in range(count):
                 ent = data[i:i + 20]
                 if ent[17:18] == b"n":
-                    self._set(start + k, ("o", int(ent[0:10]), 0))
+                    pending.append((start + k, ("o", int(ent[0:10]), 0)))
+                elif ent[17:18] == b"f":
+                    # Free entries become tombstones: under the
+                    # first-seen-wins /Prev walk they shadow older
+                    # in-use entries, so an object freed by a newer
+                    # incremental update cannot resurrect from an older
+                    # xref section.
+                    pending.append((start + k, ("f", 0, 0)))
                 i += 20
 
     def _load_xref_stream(self, i: int) -> Optional[int]:
@@ -424,6 +443,9 @@ class PdfDocument:
                     self._set(start + k, ("o", fields[1], 0))
                 elif typ == 2:
                     self._set(start + k, ("c", fields[1], fields[2]))
+                elif typ == 0:
+                    # free-entry tombstone (see _load_xref_table)
+                    self._set(start + k, ("f", 0, 0))
         for key, v in obj.dict.items():
             if key not in ("W", "Index", "Type", "Length", "Filter",
                            "DecodeParms"):
@@ -482,7 +504,7 @@ class PdfDocument:
         if num in self._cache:
             return self._cache[num]
         ent = self.xref.get(num)
-        if ent is None:
+        if ent is None or ent[0] == "f":  # absent or freed (tombstone)
             return None
         self._cache[num] = None  # cycle guard
         if ent[0] == "o":
@@ -629,6 +651,23 @@ class PdfDocument:
                         except Exception:
                             cmap = None
                     self._cmap_cache[key] = cmap
+            elif isinstance(fd, dict):
+                enc = fd.get("Encoding")
+                enc_name = str(self.resolve(enc) or "")
+                if (str(fd.get("Subtype") or "") == "Type0"
+                        or enc_name.startswith("Identity")):
+                    # Type0/Identity-H without /ToUnicode: 2-byte CIDs
+                    # with no Unicode contract — decode to nothing
+                    # rather than mojibake (cid flag, see
+                    # _decode_with_font)
+                    cmap = {"width": 2, "map": {}, "cid": True}
+                elif enc is not None:
+                    # pdfTeX-style simple font: /Encoding /Differences
+                    # glyph names (or a named base encoding), no CMap
+                    try:
+                        cmap = _simple_font_map(enc, self.resolve)
+                    except Exception:
+                        cmap = None
             out[name] = cmap
         return out
 
@@ -715,6 +754,169 @@ def _parse_tounicode(cmap_bytes: bytes) -> dict:
     return {"width": width, "map": table}
 
 
+# -- simple-font encodings (no /ToUnicode) ----------------------------
+# pdfTeX / dvips Type1 output (the reference's arXiv corpus,
+# intervention_graph_creation/extract.py:65 globs *.pdf of exactly this
+# producer family) maps string bytes through /Encoding /Differences
+# arrays of PostScript glyph names, usually with NO /ToUnicode CMap.
+# The public Adobe Glyph List is the name→Unicode contract; the table
+# below is a compact AGL subset covering Latin text, TeX ligatures and
+# punctuation, Latin-1 accents, Greek, and the common math names, plus
+# the AGL algorithmic forms (uniXXXX, uXXXXXX, suffixed names).
+
+_AGL: dict[str, str] = {name: chr(cp) for name, cp in {
+    "space": 0x20, "exclam": 0x21, "quotedbl": 0x22, "numbersign": 0x23,
+    "dollar": 0x24, "percent": 0x25, "ampersand": 0x26,
+    "quotesingle": 0x27, "parenleft": 0x28, "parenright": 0x29,
+    "asterisk": 0x2A, "plus": 0x2B, "comma": 0x2C, "hyphen": 0x2D,
+    "period": 0x2E, "slash": 0x2F, "zero": 0x30, "one": 0x31,
+    "two": 0x32, "three": 0x33, "four": 0x34, "five": 0x35, "six": 0x36,
+    "seven": 0x37, "eight": 0x38, "nine": 0x39, "colon": 0x3A,
+    "semicolon": 0x3B, "less": 0x3C, "equal": 0x3D, "greater": 0x3E,
+    "question": 0x3F, "at": 0x40, "bracketleft": 0x5B, "backslash": 0x5C,
+    "bracketright": 0x5D, "asciicircum": 0x5E, "underscore": 0x5F,
+    "grave": 0x60, "braceleft": 0x7B, "bar": 0x7C, "braceright": 0x7D,
+    "asciitilde": 0x7E,
+    # typographic (TeX's favourites)
+    "quoteleft": 0x2018, "quoteright": 0x2019, "quotedblleft": 0x201C,
+    "quotedblright": 0x201D, "quotesinglbase": 0x201A,
+    "quotedblbase": 0x201E, "endash": 0x2013, "emdash": 0x2014,
+    "bullet": 0x2022, "dagger": 0x2020, "daggerdbl": 0x2021,
+    "ellipsis": 0x2026, "perthousand": 0x2030, "guilsinglleft": 0x2039,
+    "guilsinglright": 0x203A, "guillemotleft": 0xAB,
+    "guillemotright": 0xBB, "exclamdown": 0xA1, "questiondown": 0xBF,
+    "section": 0xA7, "paragraph": 0xB6, "copyright": 0xA9,
+    "registered": 0xAE, "trademark": 0x2122, "degree": 0xB0,
+    "plusminus": 0xB1, "multiply": 0xD7, "divide": 0xF7,
+    "minus": 0x2212, "fraction": 0x2044, "florin": 0x192, "cent": 0xA2,
+    "sterling": 0xA3, "yen": 0xA5, "currency": 0xA4, "Euro": 0x20AC,
+    "brokenbar": 0xA6, "ordfeminine": 0xAA, "ordmasculine": 0xBA,
+    "logicalnot": 0xAC, "macron": 0xAF, "acute": 0xB4, "dieresis": 0xA8,
+    "cedilla": 0xB8, "circumflex": 0x2C6, "tilde": 0x2DC,
+    "caron": 0x2C7, "breve": 0x2D8, "dotaccent": 0x2D9, "ring": 0x2DA,
+    "hungarumlaut": 0x2DD, "ogonek": 0x2DB, "periodcentered": 0xB7,
+    "onequarter": 0xBC, "onehalf": 0xBD, "threequarters": 0xBE,
+    "onesuperior": 0xB9, "twosuperior": 0xB2, "threesuperior": 0xB3,
+    # ligatures
+    "ff": 0xFB00, "fi": 0xFB01, "fl": 0xFB02, "ffi": 0xFB03,
+    "ffl": 0xFB04,
+    # Latin accents (AGL names = Latin-1/2 repertoire)
+    "Aacute": 0xC1, "aacute": 0xE1, "Agrave": 0xC0, "agrave": 0xE0,
+    "Acircumflex": 0xC2, "acircumflex": 0xE2, "Adieresis": 0xC4,
+    "adieresis": 0xE4, "Atilde": 0xC3, "atilde": 0xE3, "Aring": 0xC5,
+    "aring": 0xE5, "AE": 0xC6, "ae": 0xE6, "Ccedilla": 0xC7,
+    "ccedilla": 0xE7, "Eacute": 0xC9, "eacute": 0xE9, "Egrave": 0xC8,
+    "egrave": 0xE8, "Ecircumflex": 0xCA, "ecircumflex": 0xEA,
+    "Edieresis": 0xCB, "edieresis": 0xEB, "Iacute": 0xCD,
+    "iacute": 0xED, "Igrave": 0xCC, "igrave": 0xEC, "Icircumflex": 0xCE,
+    "icircumflex": 0xEE, "Idieresis": 0xCF, "idieresis": 0xEF,
+    "Eth": 0xD0, "eth": 0xF0, "Ntilde": 0xD1, "ntilde": 0xF1,
+    "Oacute": 0xD3, "oacute": 0xF3, "Ograve": 0xD2, "ograve": 0xF2,
+    "Ocircumflex": 0xD4, "ocircumflex": 0xF4, "Odieresis": 0xD6,
+    "odieresis": 0xF6, "Otilde": 0xD5, "otilde": 0xF5, "Oslash": 0xD8,
+    "oslash": 0xF8, "Uacute": 0xDA, "uacute": 0xFA, "Ugrave": 0xD9,
+    "ugrave": 0xF9, "Ucircumflex": 0xDB, "ucircumflex": 0xFB,
+    "Udieresis": 0xDC, "udieresis": 0xFC, "Yacute": 0xDD,
+    "yacute": 0xFD, "Thorn": 0xDE, "thorn": 0xFE, "germandbls": 0xDF,
+    "ydieresis": 0xFF, "Ydieresis": 0x178, "Scaron": 0x160,
+    "scaron": 0x161, "Zcaron": 0x17D, "zcaron": 0x17E, "OE": 0x152,
+    "oe": 0x153, "Lslash": 0x141, "lslash": 0x142, "dotlessi": 0x131,
+    "mu": 0x3BC,
+    # Greek (math mode in papers)
+    "alpha": 0x3B1, "beta": 0x3B2, "gamma": 0x3B3, "delta": 0x3B4,
+    "epsilon": 0x3B5, "zeta": 0x3B6, "eta": 0x3B7, "theta": 0x3B8,
+    "iota": 0x3B9, "kappa": 0x3BA, "lambda": 0x3BB, "nu": 0x3BD,
+    "xi": 0x3BE, "omicron": 0x3BF, "pi": 0x3C0, "rho": 0x3C1,
+    "sigma": 0x3C3, "sigma1": 0x3C2, "tau": 0x3C4, "upsilon": 0x3C5,
+    "phi": 0x3C6, "phi1": 0x3D5, "chi": 0x3C7, "psi": 0x3C8,
+    "omega": 0x3C9, "omega1": 0x3D6, "theta1": 0x3D1, "Gamma": 0x393,
+    "Delta": 0x394, "Theta": 0x398, "Lambda": 0x39B, "Xi": 0x39E,
+    "Pi": 0x3A0, "Sigma": 0x3A3, "Upsilon": 0x3A5, "Phi": 0x3A6,
+    "Psi": 0x3A8, "Omega": 0x3A9,
+    # math
+    "infinity": 0x221E, "partialdiff": 0x2202, "summation": 0x2211,
+    "product": 0x220F, "integral": 0x222B, "radical": 0x221A,
+    "approxequal": 0x2248, "notequal": 0x2260, "lessequal": 0x2264,
+    "greaterequal": 0x2265, "element": 0x2208, "arrowright": 0x2192,
+    "arrowleft": 0x2190, "arrowup": 0x2191, "arrowdown": 0x2193,
+    "arrowboth": 0x2194, "gradient": 0x2207, "proportional": 0x221D,
+    "therefore": 0x2234, "asteriskmath": 0x2217, "emptyset": 0x2205,
+    "intersection": 0x2229, "union": 0x222A, "propersubset": 0x2282,
+    "propersuperset": 0x2283, "logicaland": 0x2227,
+    "logicalor": 0x2228, "perpendicular": 0x22A5, "angle": 0x2220,
+}.items()}
+_AGL.update({c: c for c in
+             "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"})
+
+_UNI_NAME_RE = re.compile(r"uni((?:[0-9A-Fa-f]{4})+)$")
+_U_NAME_RE = re.compile(r"u([0-9A-Fa-f]{4,6})$")
+
+
+def _glyph_to_text(name: str) -> Optional[str]:
+    """AGL name→Unicode: direct table hit, subset-suffix strip
+    (``a.sc``, ``fi.alt``), and the algorithmic ``uniXXXX`` /
+    ``uXXXXXX`` forms."""
+    if name in _AGL:
+        return _AGL[name]
+    base = name.split(".", 1)[0]
+    if base != name and base in _AGL:
+        return _AGL[base]
+    m = _UNI_NAME_RE.fullmatch(base)
+    if m:
+        hx = m.group(1)
+        return "".join(chr(int(hx[i:i + 4], 16))
+                       for i in range(0, len(hx), 4))
+    m = _U_NAME_RE.fullmatch(base)
+    if m:
+        cp = int(m.group(1), 16)
+        return chr(cp) if cp < 0x110000 else None
+    return None
+
+
+def _base_encoding_table(name: Optional[str]) -> dict[int, str]:
+    """256-slot base table for a simple font: WinAnsi = cp1252,
+    MacRoman = mac_roman, default/Standard ≈ Latin-1 (the parser's
+    historical fallback, right for the printable ASCII core)."""
+    codec = {"WinAnsiEncoding": "cp1252",
+             "MacRomanEncoding": "mac_roman"}.get(str(name or ""), "latin-1")
+    table = {}
+    for code in range(256):
+        try:
+            table[code] = bytes([code]).decode(codec)
+        except UnicodeDecodeError:
+            table[code] = chr(code)
+    return table
+
+
+def _simple_font_map(enc, resolve) -> Optional[dict]:
+    """Font-dict ``/Encoding`` (name or dict with ``/BaseEncoding`` +
+    ``/Differences``) → a width-1 code map.  ``/Differences`` is the
+    PDF 32000 §9.6.6 run-length form: an integer start code followed
+    by glyph names, repeating."""
+    enc = resolve(enc)
+    if isinstance(enc, Name):
+        if str(enc) in ("WinAnsiEncoding", "MacRomanEncoding"):
+            return {"width": 1, "map": _base_encoding_table(str(enc))}
+        return None  # StandardEncoding etc. — Latin-1 fallback is fine
+    if not isinstance(enc, dict):
+        return None
+    table = _base_encoding_table(
+        str(resolve(enc.get("BaseEncoding")) or "") or None)
+    diffs = resolve(enc.get("Differences"))
+    if isinstance(diffs, list):
+        code = 0
+        for el in diffs:
+            el = resolve(el)
+            if isinstance(el, (int, float)):
+                code = int(el)
+            elif isinstance(el, Name):
+                txt = _glyph_to_text(str(el))
+                if txt is not None:
+                    table[code] = txt
+                code += 1
+    return {"width": 1, "map": table}
+
+
 def _decode_with_font(b: bytes, font) -> str:
     """String bytes → text under the current font: split into
     code units of the CMap's width and map each through /ToUnicode;
@@ -722,11 +924,48 @@ def _decode_with_font(b: bytes, font) -> str:
     if not font:
         return _pdf_text(b)
     w, table = font["width"], font["map"]
+    cid = font.get("cid", False)
     out = []
     for i in range(0, len(b) - w + 1, w):
         code = int.from_bytes(b[i:i + w], "big")
-        out.append(table.get(code, chr(code) if code < 0x110000 else ""))
+        hit = table.get(code)
+        if hit is not None:
+            out.append(hit)
+        elif cid:
+            # Identity-H CIDs without /ToUnicode are private glyph
+            # indices — emitting chr(cid) would be mojibake, so emit
+            # nothing (matches pdfminer's CID-no-unicode behavior)
+            continue
+        else:
+            out.append(chr(code) if code < 0x110000 else "")
     return "".join(out)
+
+
+def _skip_inline_image(content: bytes, i: int) -> int:
+    """Skip a ``BI … ID <binary> EI`` inline image starting just after
+    the ``BI`` token.  The binary payload can legally contain the bytes
+    ``EI`` (it's compressed or raster data), so a bare ``find(b"EI")``
+    truncates mid-image and the scanner then mis-parses raster bytes as
+    operators; the standard heuristic (pdfminer does the same) accepts
+    an ``EI`` only when delimited by whitespace on the left and
+    whitespace/EOF on the right."""
+    n = len(content)
+    k = content.find(b"ID", i)
+    if k < 0:
+        return n
+    j = k + 2
+    if j < n and content[j] in _WS:  # single EOL/space after ID
+        j += 1
+    while True:
+        k = content.find(b"EI", j)
+        if k < 0:
+            return n
+        before_ws = k > 0 and content[k - 1] in _WS
+        after = content[k + 2:k + 3]
+        after_ok = after == b"" or after[0] in _WS or after[0] in _DELIM
+        if before_ws and after_ok:
+            return k + 2
+        j = k + 2
 
 
 _LINE_OPS = frozenset((b"Td", b"TD", b"T*", b"Tm", b"BT"))
@@ -794,9 +1033,8 @@ def _content_text(content: bytes, fonts: dict | None = None) -> str:
                     pending_nl = True
             else:
                 pending_nl = True
-        elif op == b"BI":  # inline image: skip to EI
-            k = content.find(b"EI", i)
-            i = n if k < 0 else k + 2
+        elif op == b"BI":  # inline image (BI <dict> ID <binary> EI)
+            i = _skip_inline_image(content, i)
         operands = []
     return "".join(out)
 

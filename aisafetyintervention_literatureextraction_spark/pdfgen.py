@@ -416,10 +416,12 @@ def lzw_encode(data: bytes) -> bytes:
         codes.append((table[w], width))
         table[wc] = next_code
         next_code += 1
-        # EarlyChange=1: the decoder widens when its table size
-        # reaches 2^width; its table lags the encoder's next_code by
-        # one, so the encoder widens when next_code - 1 crosses
-        if next_code - 1 >= (1 << width) and width < 12:
+        # EarlyChange=1 (TIFF/PDF convention, matching pdfminer/qpdf):
+        # the decoder widens one entry early, when its table reaches
+        # 511/1023/2047.  Its table lags the encoder's next_code by one
+        # (decoder len = next_code - 1), so the encoder widens when
+        # next_code itself crosses 2^width.
+        if next_code >= (1 << width) and width < 12:
             width += 1
         if next_code >= 4095:  # reset before the 12-bit table fills
             codes.append((256, width))

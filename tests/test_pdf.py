@@ -207,3 +207,38 @@ def test_ascii85_and_lzw_filters():
                  bytes(rng.randrange(256) for _ in range(30000))):
         assert _ascii85_decode(ascii85_encode(blob)) == blob
         assert _lzw_decode(lzw_encode(blob)) == blob
+
+
+def test_lzw_standard_convention_interop():
+    """Spec-derived interop vector, NOT produced by the in-repo encoder:
+    the TIFF/PDF EarlyChange=1 convention (pdfminer, qpdf) bumps the code
+    width when the decoder table reaches 511/1023/2047 entries — one
+    entry early.  For input bytes(range(256)) the code stream is fully
+    predictable: Clear(256)@9, codes 0..253@9 (the 254th data code fills
+    the table to 511, so the width bumps BEFORE the next code), then
+    254@10, 255@10, EOD(257)@10.  The vector is bit-packed here from
+    that analytic sequence, so an encoder/decoder pair that drifts to a
+    matching off-by-one (the r4 bug) fails against it."""
+    from aisafetyintervention_literatureextraction_spark.operators.pdf import (
+        _lzw_decode,
+    )
+    from aisafetyintervention_literatureextraction_spark.pdfgen import (
+        lzw_encode,
+    )
+
+    data = bytes(range(256))
+    codes = [(256, 9)] + [(c, 9) for c in range(254)] + [
+        (254, 10), (255, 10), (257, 10)]
+    acc = nbits = 0
+    packed = bytearray()
+    for code, width in codes:
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            packed.append((acc >> nbits) & 0xFF)
+    if nbits:
+        packed.append((acc << (8 - nbits)) & 0xFF)
+    vector = bytes(packed)
+    assert _lzw_decode(vector) == data
+    assert lzw_encode(data) == vector

@@ -1,0 +1,190 @@
+"""Foreign-producer PDF fixtures — hand-authored bytes, NOT pdfgen.
+
+The parser's other tests round-trip through the package's own writer;
+writer and reader being co-designed, they cannot catch conventions the
+pair drifted away from together.  Every fixture here is assembled from
+literal object bytes (tests/pdfraw.py only computes xref offsets) in
+the shapes the reference's real corpus — arXiv pdfTeX/dvips output
+(``intervention_graph_creation/.../inputdata_development_paper_set/directory.txt``)
+— actually uses: ``/Encoding /Differences`` glyph names with no
+/ToUnicode, Identity-H CID fonts, inline images interleaved with text,
+hybrid-reference files (``/XRefStm``), CR-only EOLs, indirect
+``/Length``, and incremental updates that free objects.
+"""
+
+from __future__ import annotations
+
+import re
+
+from aisafetyintervention_literatureextraction_spark.operators.pdf import (
+    PdfDocument,
+    extract_pdf_text,
+)
+
+from pdfraw import (
+    append_update,
+    build_classic,
+    simple_doc_objects,
+    wrap_obj,
+    xref_section,
+)
+
+TRAILER = b"<< /Size %d /Root 1 0 R >>"
+
+
+def _startxref(data: bytes) -> int:
+    m = re.search(rb"startxref\s+(\d+)", data[data.rfind(b"startxref"):])
+    return int(m.group(1))
+
+
+def test_differences_encoding_no_tounicode():
+    """pdfTeX Type1 subset font: string bytes are re-mapped through an
+    /Encoding /Differences array of glyph names, with NO /ToUnicode
+    anywhere (the common case for older latex papers).  Codes 1 and 2
+    map to the fi ligature and the right quote; ASCII codes keep their
+    base meaning."""
+    font = (b"<< /Type /Font /Subtype /Type1 "
+            b"/BaseFont /TUSMZF+NimbusRomNo9L-Regu "
+            b"/Encoding << /Type /Encoding "
+            b"/Differences [ 1 /fi /quoteright 8 /emdash /uni2207 ] >> >>")
+    cs = (b"BT /F1 10 Tf (\\001nding physics\\002 law "
+          b"\\010 \\011) Tj ET")
+    data = build_classic(
+        simple_doc_objects(cs, font_body=font), TRAILER % 6)
+    assert extract_pdf_text(data) == (
+        "ﬁnding physics’ law — ∇")
+
+
+def test_winansi_base_encoding():
+    """/Encoding /WinAnsiEncoding as a bare name: bytes 0x93/0x94 are
+    cp1252 smart quotes, not Latin-1 C1 controls."""
+    font = (b"<< /Type /Font /Subtype /TrueType /BaseFont /Arial "
+            b"/Encoding /WinAnsiEncoding >>")
+    cs = b"BT /F1 10 Tf (\\223scaling laws\\224 \\226 refs) Tj ET"
+    data = build_classic(
+        simple_doc_objects(cs, font_body=font), TRAILER % 6)
+    assert extract_pdf_text(data) == "“scaling laws” – refs"
+
+
+def test_identity_h_cid_no_tounicode():
+    """Identity-H Type0 font without /ToUnicode: the 2-byte CIDs are
+    private glyph indices with no Unicode contract, so the show must
+    contribute NOTHING (pdfminer behavior) rather than Latin-1
+    mojibake; a simple font on the same page still decodes."""
+    cid_font = (b"<< /Type /Font /Subtype /Type0 /BaseFont /BCDFGH+STIX "
+                b"/Encoding /Identity-H /DescendantFonts [6 0 R] >>")
+    desc = (b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /BCDFGH+STIX "
+            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+            b"/Supplement 0 >> >>")
+    cs = (b"BT /F1 10 Tf <00480065006C6C6F> Tj "
+          b"/F2 10 Tf (real text) Tj ET")
+    objs = simple_doc_objects(cs, extra={5: cid_font, 6: desc})
+    objs[3] = objs[3][:-3] + (
+        b" /Resources << /Font << /F1 5 0 R /F2 7 0 R >> >> >>")
+    objs[7] = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Times >>")
+    data = build_classic(objs, TRAILER % 8)
+    assert extract_pdf_text(data) == "real text"
+
+
+def test_inline_image_with_embedded_EI_bytes():
+    """BI…ID…EI inline image whose binary payload contains the bytes
+    ``EI`` followed by text-operator-looking garbage: a naive
+    ``find(b"EI")`` cuts the skip short and mis-parses raster bytes as
+    a show operator.  Only a whitespace-delimited EI ends the image."""
+    payload = b"\x7fEI (GARBAGE) Tj \x81\x82"
+    cs = (b"BT (before) Tj ET\nq\n"
+          b"BI /W 2 /H 2 /BPC 8 /CS /G ID " + payload + b"\nEI\nQ\n"
+          b"BT (after) Tj ET")
+    data = build_classic(simple_doc_objects(cs), TRAILER % 5)
+    text = extract_pdf_text(data)
+    assert text == "before\nafter"
+    assert "GARBAGE" not in text
+
+
+def test_hybrid_reference_xrefstm():
+    """Hybrid-reference file (PDF 32000 §7.5.8.4): the classic table
+    marks the content object FREE and only the /XRefStm stream maps
+    it — xref-stream-aware readers must let the stream entries win
+    over their own classic section."""
+    eol = b"\n"
+    out = bytearray(b"%PDF-1.5" + eol)
+    offsets: dict[int, int | None] = {}
+    cs = b"BT (hybrid wins) Tj ET"
+    bodies = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R >>"),
+        4: (b"<< /Length %d >>\nstream\n" % len(cs)) + cs + b"\nendstream",
+    }
+    for num in (1, 2, 3, 4):
+        offsets[num] = len(out)
+        out += wrap_obj(num, bodies[num], eol)
+    # xref STREAM object (obj 6): W [1 2 1], entries for obj 4 + itself
+    stm_pos = len(out)
+    rows = (bytes([1]) + offsets[4].to_bytes(2, "big") + bytes([0])
+            + bytes([1]) + stm_pos.to_bytes(2, "big") + bytes([0]))
+    stm = (b"<< /Type /XRef /Size 7 /W [1 2 1] /Index [4 1 6 1] "
+           b"/Length %d >>\nstream\n" % len(rows)) + rows + b"\nendstream"
+    out += wrap_obj(6, stm, eol)
+    # classic section: 1-3 in use, 4 FREE (covered by the XRefStm)
+    xref_pos = len(out)
+    classic = {1: offsets[1], 2: offsets[2], 3: offsets[3], 4: None}
+    out += xref_section(
+        classic,
+        b"<< /Size 7 /Root 1 0 R /XRefStm %d >>" % stm_pos,
+        xref_pos, eol)
+    assert extract_pdf_text(bytes(out)) == "hybrid wins"
+
+
+def test_cr_only_eols():
+    """Ancient Mac-producer convention: every EOL in the file — after
+    obj headers, inside the xref table rows, after ``stream`` — is a
+    bare CR."""
+    cs = b"BT (carriage) Tj 0 -12 Td (returns) Tj ET"
+    data = build_classic(simple_doc_objects(cs, eol=b"\r"), TRAILER % 5,
+                         eol=b"\r", entry_eol=b" \r")
+    assert b"\n" not in data
+    assert extract_pdf_text(data) == "carriage\nreturns"
+
+
+def test_indirect_stream_length():
+    """/Length as an indirect reference (dvips and many producers emit
+    the stream first and backfill the length object)."""
+    cs = b"BT (deferred length) Tj ET"
+    objs = simple_doc_objects(b"")  # placeholder content, replaced below
+    objs[4] = (b"<< /Length 6 0 R >>\nstream\n" + cs + b"\nendstream")
+    objs[6] = b"%d" % len(cs)
+    data = build_classic(objs, TRAILER % 7)
+    assert extract_pdf_text(data) == "deferred length"
+
+
+def test_incremental_update_frees_object():
+    """An incremental update marks the content object free: the free
+    entry in the NEWEST section must tombstone it, not let the /Prev
+    walk resurrect the original bytes (the deleted-text-leak case)."""
+    cs = b"BT (SECRET DRAFT TEXT) Tj ET"
+    base = build_classic(simple_doc_objects(cs), TRAILER % 5)
+    assert extract_pdf_text(base) == "SECRET DRAFT TEXT"
+    upd = append_update(
+        base, {}, freed=(4,),
+        trailer_body=b"<< /Size 5 /Root 1 0 R /Prev %d >>"
+        % _startxref(base))
+    assert extract_pdf_text(upd) == ""
+    # the freed object must resolve to nothing, not the stale bytes
+    assert PdfDocument(upd).get(4) is None
+
+
+def test_incremental_update_redefines_object():
+    """The companion case: an update REDEFINES the content stream;
+    first-seen-wins over the /Prev walk must surface the new text."""
+    cs_old = b"BT (version one) Tj ET"
+    cs_new = b"BT (version two) Tj ET"
+    base = build_classic(simple_doc_objects(cs_old), TRAILER % 5)
+    new_obj = (b"<< /Length %d >>\nstream\n" % len(cs_new)
+               + cs_new + b"\nendstream")
+    upd = append_update(
+        base, {4: new_obj}, freed=(),
+        trailer_body=b"<< /Size 5 /Root 1 0 R /Prev %d >>"
+        % _startxref(base))
+    assert extract_pdf_text(upd) == "version two"

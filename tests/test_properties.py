@@ -256,5 +256,14 @@ def test_cypher_quoting_property(spark, s):
             continue
         assert body[k] != "'"
         k += 1
-    unescaped = body.replace("\\\\", "\x00").replace("\\'", "'").replace("\x00", "\\")
+    # literal newlines/CRs must not appear — the sink's one-statement-
+    # per-line contract for df.write.text output
+    assert "\n" not in body and "\r" not in body
+    unescaped = (
+        body.replace("\\\\", "\x00")
+        .replace("\\'", "'")
+        .replace("\\n", "\n")
+        .replace("\\r", "\r")
+        .replace("\x00", "\\")
+    )
     assert unescaped == s
