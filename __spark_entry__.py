@@ -680,6 +680,36 @@ def q_kg_mention_spans(spark, sf_dir):
     )
 
 
+_PROV_VOCAB = ("spark", "table", "query", "join", "window", "stream")
+
+
+def q_kg_node_provenance(spark, sf_dir):
+    """Stage-D document provenance (operators/materialize.py
+    source_titles): KG nodes denormalize the metadata of their
+    evidence documents — explode evidence, equi-join doc metadata,
+    sorted-distinct collect capped at 20 (the hub-node bound; the cap
+    expression is mirrored verbatim in the oracle).  Here the node set
+    is a controlled mention vocabulary over ``documents.text`` and the
+    metadata column is ``source`` (the testdata stand-in for PDF /Info
+    title); provenance is emitted pipe-joined so the hash compare is
+    representation-stable."""
+    d = _t(spark, sf_dir, "documents")
+    m = (
+        d.select(
+            "doc_id", "source",
+            F.explode(F.split(F.lower(F.col("text")), TOK_RE)).alias("mention"),
+        )
+        .filter(F.col("mention").isin(*_PROV_VOCAB))
+        .distinct()
+    )
+    return m.groupBy("mention").agg(
+        F.array_join(
+            F.slice(F.array_sort(F.collect_set("source")), 1, 20), "|"
+        ).alias("source_titles"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
 _RAW_FIXTURE = "/tmp/kg_raw_fixture_v1"
 
 
@@ -725,6 +755,12 @@ def q_s1_pdf_docs(spark, sf_dir):
         F.col("conv_id").alias("doc_id"),
         "doc_text",
         F.length("doc_text").cast("int").alias("n_chars"),
+        # /Info provenance — the oracle reconstructs the writer's
+        # deterministic Title/Author from the filename stem, so a
+        # parser that drops or mis-decodes the trailer /Info dict
+        # hash-mismatches
+        "title",
+        "author",
     )
 
 
@@ -792,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_winnow": q_dedup_winnow,
         "kg_pipeline_triples": q_kg_pipeline_triples,
         "kg_mention_spans": q_kg_mention_spans,
+        "kg_node_provenance": q_kg_node_provenance,
         "s1_raw_files": q_s1_raw_files,
         "s1_pdf_docs": q_s1_pdf_docs,
     }
@@ -1209,6 +1246,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(off + strpos(p, ']') - 1 AS INTEGER) AS span_end
             FROM offs WHERE i > 1 AND strpos(p, ']') > 0
         """,
+        "kg_node_provenance": f"""
+            WITH m AS (
+              SELECT DISTINCT unnest({toks_text}) AS mention,
+                     source, doc_id
+              FROM documents)
+            SELECT mention,
+                   array_to_string(
+                     list_slice(list_sort(list(DISTINCT source)), 1, 20),
+                     '|') AS source_titles,
+                   COUNT(DISTINCT doc_id) AS n_docs
+            FROM m
+            WHERE mention IN ('spark','table','query','join','window','stream')
+            GROUP BY mention
+        """,
         "s1_raw_files": f"""
             SELECT parse_filename(filename, true) AS doc_id,
                    CAST(octet_length(content) AS INTEGER) AS n_bytes,
@@ -1218,7 +1269,13 @@ def oracle_sql() -> dict[str, str]:
         "s1_pdf_docs": f"""
             SELECT parse_filename(filename, true) AS doc_id,
                    decode(content) AS doc_text,
-                   CAST(length(decode(content)) AS INTEGER) AS n_chars
-            FROM read_blob('{_PDF_FIXTURE}/expected/*.txt')
+                   CAST(length(decode(content)) AS INTEGER) AS n_chars,
+                   'Paper ' || i || ': safety interventions' AS title,
+                   'Author ' || (i % 5) || ' (lab''' || i || ')' AS author
+            FROM (
+              SELECT *, CAST(substring(parse_filename(filename, true), 5)
+                             AS INTEGER) AS i
+              FROM read_blob('{_PDF_FIXTURE}/expected/*.txt')
+            )
         """,
     }

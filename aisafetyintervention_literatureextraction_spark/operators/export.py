@@ -70,24 +70,31 @@ def cypher_ident(col: Column, fallback: str = "RELATED_TO") -> Column:
 
 def cypher_node_statements(nodes: DataFrame) -> DataFrame:
     """kg_nodes → one idempotent ``MERGE … SET`` statement per node
-    (the reference's per-node upsert, db.py:41-47, set-oriented)."""
-    return nodes.select(
-        F.concat(
-            F.lit("MERGE (n:"),
-            cypher_ident(F.col("type"), "CONCEPT"),
-            F.lit(" {id: "),
-            cypher_str(F.col("node_id").cast("string")),
-            F.lit("}) SET n.name = "),
-            cypher_str(F.col("canonical_name")),
-            F.lit(", n.aliases = "),
-            cypher_str_array(F.col("aliases")),
-            F.lit(", n.description = "),
-            cypher_str(F.col("description")),
-            F.lit(", n.n_merged = "),
-            F.coalesce(F.col("n_merged").cast("string"), F.lit("NULL")),
-            F.lit(";"),
-        ).alias("stmt")
-    )
+    (the reference's per-node upsert, db.py:41-47, set-oriented).
+    When stage D attached document provenance (source_titles — the
+    engine's normalized form of the reference's PAPER nodes,
+    db.py:34-66), it is exported as a node property so the loaded
+    graph keeps the paper linkage."""
+    parts = [
+        F.lit("MERGE (n:"),
+        cypher_ident(F.col("type"), "CONCEPT"),
+        F.lit(" {id: "),
+        cypher_str(F.col("node_id").cast("string")),
+        F.lit("}) SET n.name = "),
+        cypher_str(F.col("canonical_name")),
+        F.lit(", n.aliases = "),
+        cypher_str_array(F.col("aliases")),
+        F.lit(", n.description = "),
+        cypher_str(F.col("description")),
+        F.lit(", n.n_merged = "),
+        F.coalesce(F.col("n_merged").cast("string"), F.lit("NULL")),
+    ]
+    if "source_titles" in nodes.columns:
+        parts += [
+            F.lit(", n.source_titles = "),
+            cypher_str_array(F.col("source_titles")),
+        ]
+    return nodes.select(F.concat(*parts, F.lit(";")).alias("stmt"))
 
 
 def cypher_edge_statements(edges: DataFrame) -> DataFrame:

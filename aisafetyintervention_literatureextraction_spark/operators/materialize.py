@@ -121,6 +121,7 @@ def materialize_from_agg(
     candidate_nodes: DataFrame,
     edges_agg: DataFrame,        # aggregate_raw_edges shape
     components: DataFrame,       # node_id, component_id
+    docs_meta: DataFrame | None = None,  # (conv_id, title, author)
 ) -> Graph:
     # Scale note: the name index and component map are node-scale
     # (orders of magnitude smaller than the triple/turn tables), so
@@ -281,6 +282,42 @@ def materialize_from_agg(
             "conv_ids",
         )
     )
+
+    # --- document provenance (reference PAPER-node analog) ----------------
+    # The reference's graph has explicit PAPER nodes MERGEd per source
+    # document (db.py:34-66); this engine normalizes them into the
+    # conv_ids evidence arrays.  When the documents table carries
+    # article metadata (PDF /Info Title/Author, ARD title/authors —
+    # arxiv.jsonl.example.json:1-10), stage D denormalizes it onto each
+    # kg node as sorted-distinct source_titles/source_authors, capped at
+    # 20 per node (mirrored in the oracle) so a hub concept cited by
+    # millions of documents cannot blow the row — full evidence stays
+    # queryable via conv_ids ⋈ documents.
+    empty = F.array().cast("array<string>")
+    if docs_meta is not None:
+        ev = labeled.select(
+            F.col("component_id").alias("node_id"),
+            F.explode("conv_ids").alias("conv_id"),
+        ).distinct()
+        prov = (
+            ev.join(docs_meta.select("conv_id", "title", "author"), "conv_id")
+            .groupBy("node_id")
+            .agg(
+                F.slice(F.array_sort(F.collect_set("title")), 1, 20)
+                .alias("source_titles"),
+                F.slice(F.array_sort(F.collect_set("author")), 1, 20)
+                .alias("source_authors"),
+            )
+        )
+        kg_nodes = (
+            kg_nodes.join(prov, "node_id", "left")
+            .withColumn("source_titles", F.coalesce("source_titles", empty))
+            .withColumn("source_authors", F.coalesce("source_authors", empty))
+        )
+    else:
+        kg_nodes = kg_nodes.withColumn("source_titles", empty).withColumn(
+            "source_authors", empty
+        )
     return Graph(nodes=kg_nodes, edges=kg_edges, dangling=dangling)
 
 

@@ -149,6 +149,9 @@ def reassemble(
             F.transform(F.col("turns"), lambda x: x["role"]).alias("roles"),
             F.col("ts_min"),
             F.col("ts_max"),
+            # transcript-born documents carry no article provenance
+            F.lit(None).cast("string").alias("title"),
+            F.lit(None).cast("string").alias("author"),
         )
     )
     return ReassemblyResult(documents=documents, quarantine=quarantine)

@@ -109,6 +109,9 @@ def stage_a_ingest_documents(
         ckpt.reconcile(cat, ["documents", "quarantine"])
     if "n_turns" not in docs.columns:
         docs = docs.withColumn("n_turns", F.lit(1))
+    for prov in ("title", "author"):  # provenance optional per source
+        if prov not in docs.columns:
+            docs = docs.withColumn(prov, F.lit(None).cast("string"))
     docs = docs.select(
         "conv_id",
         F.coalesce(F.col("n_turns"), F.lit(1)).cast("int").alias("n_turns"),
@@ -116,6 +119,8 @@ def stage_a_ingest_documents(
         F.lit(None).cast("array<string>").alias("roles"),
         F.lit(None).cast("timestamp").alias("ts_min"),
         F.lit(None).cast("timestamp").alias("ts_max"),
+        F.col("title").cast("string").alias("title"),
+        F.col("author").cast("string").alias("author"),
     )
     pending = ckpt.pending(cat, "A_reassemble", docs) if cfg.resume else docs
     # a failed decode yields null text; a structurally-valid file with
@@ -377,10 +382,13 @@ def stage_d_materialize(cat: Catalog, cfg: PipelineConfig):
         edges_agg = cat.read("edges_agg")
     else:
         edges_agg = aggregate_raw_edges(cat.read("triples_raw"))
+    docs = cat.read("documents")
     g = materialize_from_agg(
         cat.read("candidate_nodes"),
         edges_agg,
         cat.read("components"),
+        # legacy warehouses predate the provenance columns
+        docs_meta=docs if "title" in docs.columns else None,
     )
     cat.overwrite(g.nodes, "kg_nodes", run_id=run_id)
     cat.overwrite(g.edges, "kg_edges", run_id=run_id)
@@ -448,7 +456,8 @@ def run_pipeline_pdfs(
     cat = make_catalog(spark, warehouse, backend=cfg.catalog_backend)
     t0 = time.time()
     docs = decode_pdf_text(read_raw_files(spark, pdf_dir, glob=glob)).select(
-        "conv_id", F.col("n_pages").alias("n_turns"), "doc_text"
+        "conv_id", F.col("n_pages").alias("n_turns"), "doc_text",
+        "title", "author",  # /Info provenance → documents → stage D
     )
     stage_a_ingest_documents(cat, docs, cfg)
     stage_b_extract(cat, cfg)

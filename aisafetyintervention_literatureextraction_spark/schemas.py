@@ -36,6 +36,11 @@ DOCUMENTS = StructType([
     StructField("roles", ArrayType(StringType()), True),
     StructField("ts_min", TimestampType(), True),
     StructField("ts_max", TimestampType(), True),
+    # document provenance (reference D2 article model: title/authors,
+    # data/raw/ard_examples/arxiv.jsonl.example.json:1-10; PDF /Info
+    # Title/Author) — null for transcript-born documents
+    StructField("title", StringType(), True),
+    StructField("author", StringType(), True),
 ])
 
 MENTIONS = StructType([
@@ -82,6 +87,10 @@ KG_NODES = StructType([
     StructField("intervention_maturity", IntegerType(), True),
     StructField("n_merged", IntegerType(), True),
     StructField("conv_ids", ArrayType(StringType()), True),
+    # denormalized document provenance (reference PAPER-node analog):
+    # sorted-distinct titles/authors of evidence docs, capped at 20
+    StructField("source_titles", ArrayType(StringType()), True),
+    StructField("source_authors", ArrayType(StringType()), True),
 ])
 
 KG_EDGES = StructType([

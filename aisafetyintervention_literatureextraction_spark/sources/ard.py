@@ -49,4 +49,6 @@ def ard_as_documents(ard: DataFrame) -> DataFrame:
         F.array(F.lit("article")).alias("roles"),
         F.col("date_published").alias("ts_min"),
         F.col("date_published").alias("ts_max"),
+        F.col("title"),
+        F.array_join(F.col("authors"), ", ").alias("author"),
     )

@@ -235,13 +235,23 @@ def bench_ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 32) -> di
         f"bands={b},bits={bits}": recall(topk_ids(lsh_topk(e, q, k=k, bands=b, bits=bits)))
         for b, bits in [(8, 8), (16, 4), (32, 2)]
     }
-    ivf = {
-        f"n_cells=64,n_probe={p}": recall(
-            topk_ids(ivf_topk(e, q, k=k, n_cells=64, n_probe=p))
-        )
-        for p in (4, 8, 16)
-    }
-    return {"k": k, "n_queries": len(exact), "lsh_recall": lsh, "ivf_recall": ivf}
+    # IVF sweep: n_probe grows the probed-cell set, n_assign (SPANN-
+    # style redundant corpus assignment) grows each vector's reach.
+    # Candidate cost per query ≈ corpus · n_assign·n_probe/n_cells —
+    # reported as cand_frac so high-recall settings can't hide their
+    # volume (on this quasi-isotropic synthetic corpus the ≥0.9-recall
+    # settings approach brute-force volume; clustered real embeddings
+    # keep the same recall at a fraction of it).
+    n_corpus = e.count()
+    ivf = {}
+    for p, r in ((4, 1), (8, 1), (16, 1), (8, 4), (16, 2), (16, 4)):
+        approx = topk_ids(ivf_topk(e, q, k=k, n_cells=64, n_probe=p, n_assign=r))
+        ivf[f"n_cells=64,n_probe={p},n_assign={r}"] = {
+            "recall": recall(approx),
+            "cand_frac": round(min(1.0, r * p / 64), 3),
+        }
+    return {"k": k, "n_queries": len(exact), "lsh_recall": lsh, "ivf_recall": ivf,
+            "n_corpus": n_corpus}
 
 
 def bench_pdf_throughput(spark, n_docs: int = 512) -> dict:

@@ -154,6 +154,24 @@ def test_pdf_dir_full_pipeline(spark, tmp_path):
     # subj/obj carry the fixture's grammar entities
     subjs = {r.subj for r in cat.read("triples_raw").select("subj").collect()}
     assert subjs == {f"method {i}" for i in range(N_DOCS)}
+    # /Info provenance survives to the warehouse: documents carries the
+    # writer's Title/Author, and every kg node's source_titles holds
+    # the titles of exactly its evidence docs (stage-D denormalization)
+    docs = {r.conv_id: (r.title, r.author)
+            for r in cat.read("documents").collect()}
+    for i in range(N_DOCS):
+        assert docs[f"doc_{i:03d}"] == (
+            f"Paper {i}: safety interventions", f"Author {i % 5} (lab'{i})")
+    nodes = cat.read("kg_nodes").collect()
+    assert {c for r in nodes for c in ("source_titles", "source_authors")
+            if c not in r.asDict()} == set()
+    by_title = {t for r in nodes for t in r.source_titles}
+    assert by_title == {f"Paper {i}: safety interventions"
+                        for i in range(N_DOCS)}
+    for r in nodes:  # titles are exactly the evidence docs' titles
+        want = sorted({f"Paper {int(c[4:]):d}: safety interventions"
+                       for c in r.conv_ids})[:20]
+        assert list(r.source_titles) == want
     # resume: nothing pending, same warehouse counts
     stats2 = run_pipeline_pdfs(spark, d, wh)
     assert stats2["n_triples"] == stats["n_triples"]
