@@ -21,7 +21,17 @@ stdlib-only (``re`` + ``zlib``):
 - **fonts**: per-page ``/Resources /Font`` resolution with page-tree
   attribute inheritance; subset fonts decode through their
   ``/ToUnicode`` CMap (codespace width, bfchar, both bfrange forms)
-  tracked across ``Tf`` switches.
+  tracked across ``Tf`` switches.  Fonts WITHOUT a /ToUnicode — the
+  common pdfTeX/dvips case — decode through ``/Encoding
+  /Differences`` glyph names (Adobe Glyph List subset + uniXXXX
+  forms) or a named base encoding (WinAnsi = cp1252, MacRoman);
+  Identity-H CID fonts with no Unicode contract contribute nothing
+  instead of mojibake.
+- **incremental updates**: free xref entries (classic ``f`` rows and
+  type-0 stream rows) are tombstones, so objects deleted by a newer
+  update cannot resurrect from an older ``/Prev`` section; hybrid-
+  reference files (``/XRefStm``) give the stream's entries precedence
+  over their own classic section (PDF 32000 §7.5.8.4).
 - **text operators**: page-tree walk (``/Root → /Pages → /Kids``),
   per-page ``/Contents`` concatenation, then a content-stream scan of
   ``BT``/``ET`` text objects handling ``Tj``, ``TJ`` (kern-aware:

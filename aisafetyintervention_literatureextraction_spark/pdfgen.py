@@ -444,3 +444,64 @@ def lzw_encode(data: bytes) -> bytes:
     if nbits:
         out.append((acc << (8 - nbits)) & 0xFF)
     return bytes(out)
+
+
+# -- heavy corpus (decode-bound benchmarking) -------------------------
+
+_HEAVY_VOCAB = (
+    "alignment safety intervention scaling oversight deception reward "
+    "model policy evaluation interpretability robustness corrigibility "
+    "optimization gradient transformer attention embedding latent "
+    "feedback circuit"
+).split()
+
+
+def heavy_doc_pages(i: int, n_pages: int = 24,
+                    n_lines: int = 48) -> list[list[str]]:
+    """Multi-page pseudo-paper text, a pure function of ``i``: LCG-
+    picked vocabulary with interleaved numbers so Flate cannot crush
+    it to nothing (~140 KB raw / ~37 KB compressed per doc) — the
+    corpus shape that makes the PDF bench decode-bound instead of
+    listing-bound (r4 VERDICT observation #2)."""
+    pages = []
+    state = (i * 2654435761) & 0xFFFFFFFF
+    for _p in range(n_pages):
+        lines = []
+        for _l in range(n_lines):
+            ws = []
+            for k in range(11):
+                state = (state * 1103515245 + 12345) & 0x7FFFFFFF
+                ws.append(_HEAVY_VOCAB[state % len(_HEAVY_VOCAB)])
+                if k % 4 == 3:
+                    ws.append(str(state % 99991))
+            lines.append(" ".join(ws))
+        pages.append(lines)
+    return pages
+
+
+_HEAVY_FILTERS = ("flate", "flate", "flate", "flate", None, "a85")
+
+
+def ensure_heavy_pdf_fixture(dirpath: str, n_docs: int = 3000,
+                             n_pages: int = 24) -> str:
+    """Write a decode-bound PDF corpus (default ~110 MB across 3000
+    multi-page files; Flate-dominated like real pdfTeX output, with
+    uncompressed and ASCII85 minorities).  Existence-checked per file:
+    generation is a one-time ~1 min cost, the bench reads only."""
+    import pathlib
+
+    d = pathlib.Path(dirpath)
+    d.mkdir(parents=True, exist_ok=True)
+    for i in range(n_docs):
+        p = d / f"doc_{i:05d}.pdf"
+        if p.exists():
+            continue
+        data = build_pdf(
+            heavy_doc_pages(i, n_pages=n_pages),
+            mode=_MODES[i % 3],  # tj / tjarr / quote
+            stream_filter=_HEAVY_FILTERS[i % len(_HEAVY_FILTERS)],
+            xref_stream=(i % 3 == 0),
+            info={"Title": f"Heavy paper {i}", "Author": f"Author {i % 7}"},
+        )
+        p.write_bytes(data)
+    return str(d)

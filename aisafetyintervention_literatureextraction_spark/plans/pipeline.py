@@ -522,6 +522,43 @@ def run_pipeline_streaming(
     }
 
 
+def run_pipeline_pdfs_streaming(
+    spark: SparkSession, pdf_dir: str, warehouse: str, glob: str = "*.pdf",
+    cd_every: int | None = None, **kwargs,
+) -> dict:
+    """Streaming twin of :func:`run_pipeline_pdfs`: PDFs arriving in
+    ``pdf_dir`` drain as an exactly-once AvailableNow binaryFile
+    stream (streaming/catalog_sink.stream_pdf_pipeline_to_catalog),
+    with the same cd_every in-stream C+D convergence contract as the
+    transcript stream."""
+    import os
+
+    from ..streaming.catalog_sink import stream_pdf_pipeline_to_catalog
+
+    cfg = PipelineConfig(warehouse=warehouse, **kwargs)
+    cat = make_catalog(spark, warehouse, backend=cfg.catalog_backend)
+    t0 = time.time()
+    state = stream_pdf_pipeline_to_catalog(
+        spark, pdf_dir, cat,
+        checkpoint_path=os.path.join(warehouse, "_stream_ckpt"),
+        glob=glob, extract_engine=cfg.extract_engine,
+        cd_every=cd_every, cd_cfg=cfg,
+    )
+    if not state.get("cd_on_last"):
+        stage_c_canonicalize(cat, cfg)
+        stage_d_materialize(cat, cfg)
+    caching.release_caches()
+    wall = time.time() - t0
+    n_triples = cat.read("triples_raw").count()
+    return {
+        "wall_s": wall,
+        "n_triples": n_triples,
+        "triples_per_sec": n_triples / wall,
+        "n_kg_nodes": cat.read("kg_nodes").count(),
+        "n_kg_edges": cat.read("kg_edges").count(),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--transcripts", help="parquet path of transcripts")
@@ -546,7 +583,12 @@ def main() -> None:
     if not args.transcripts and not args.pdf_dir:
         ap.error("one of --transcripts or --pdf-dir is required")
     spark = get_spark("kg-pipeline", cpus=args.cpus)
-    if args.pdf_dir:
+    if args.pdf_dir and args.stream:
+        stats = run_pipeline_pdfs_streaming(
+            spark, args.pdf_dir, args.warehouse,
+            cd_every=args.cd_every, extract_engine=args.engine
+        )
+    elif args.pdf_dir:
         stats = run_pipeline_pdfs(
             spark, args.pdf_dir, args.warehouse, extract_engine=args.engine
         )

@@ -116,13 +116,6 @@ def _process_ab_batch(
     (the foreachBatch body of :func:`stream_pipeline_to_catalog`,
     factored out so tests can drive per-file triggers directly).
     Returns 'appended' or 'skipped'."""
-    from pyspark.sql import functions as F
-
-    from ..functions import caching
-    from ..operators.extraction import extract_nodes, extract_triples
-    from ..operators.materialize import aggregate_raw_edges, edge_agg_combiner
-    from ..sources.extraction_json import validate_nodes, validate_triples
-
     run_id = f"{stream_id}-b{batch_id}"
     committed = ckpt.committed_run_ids(catalog)
     if run_id in committed:
@@ -133,8 +126,34 @@ def _process_ab_batch(
     ckpt.reconcile_versions(catalog, ["edges_agg"])
 
     res = reassemble(batch_df, salt_segment=salt_segment)
-    docs = caching.track(res.documents)
-    quar = caching.track(res.quarantine)
+    return _commit_ab_docs(
+        catalog, res.documents, res.quarantine, run_id,
+        extract_engine=extract_engine,
+    )
+
+
+def _commit_ab_docs(
+    catalog,
+    documents: DataFrame,
+    quarantine: DataFrame,
+    run_id: str,
+    extract_engine: str = "arrow",
+) -> str:
+    """Shared A+B micro-batch body from the point where the batch's
+    documents/quarantine deltas exist (transcript reassembly and PDF
+    decode both land here): audit copy, extraction, validation
+    routing, edges_agg merge, then the single atomic commit point.
+    Caller has already done the run_id dedup check and torn-batch
+    healing."""
+    from pyspark.sql import functions as F
+
+    from ..functions import caching
+    from ..operators.extraction import extract_nodes, extract_triples
+    from ..operators.materialize import aggregate_raw_edges, edge_agg_combiner
+    from ..sources.extraction_json import validate_nodes, validate_triples
+
+    docs = caching.track(documents)
+    quar = caching.track(quarantine)
     catalog.append(docs, "documents", run_id=run_id)
     # unconditional (matches batch stage A): an empty delta writes an
     # empty entry — cheaper than a limit(1) existence-probe job per batch
@@ -241,6 +260,126 @@ def stream_pipeline_to_catalog(
         _process_ab_batch(
             spark, catalog, batch_df, batch_id, stream_id,
             extract_engine=extract_engine, salt_segment=salt_segment,
+        )
+        state["n_batches"] += 1
+        state["cd_on_last"] = False
+        if cd_every and state["n_batches"] % cd_every == 0:
+            from ..functions import caching
+            from ..plans.pipeline import (
+                PipelineConfig,
+                stage_c_canonicalize,
+                stage_d_materialize,
+            )
+
+            cfg = cd_cfg or PipelineConfig(warehouse="")
+            stage_c_canonicalize(catalog, cfg)
+            stage_d_materialize(catalog, cfg)
+            caching.release_caches()
+            state["cd_on_last"] = True
+
+    q = (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return state
+
+
+# streaming binaryFile source schema (Spark's binaryFile reader shape —
+# streaming requires it stated explicitly)
+_BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def _process_pdf_batch(
+    catalog,
+    batch_df: DataFrame,
+    batch_id: int,
+    stream_id: str,
+    extract_engine: str = "arrow",
+) -> str:
+    """One micro-batch of streaming PDF ingest: binaryFile rows →
+    stdlib text extraction (operators/pdf.py) → pre-assembled
+    documents/quarantine deltas → the shared A+B commit body.  The
+    streaming twin of ``run_pipeline_pdfs``'s stage-A half
+    (plans/pipeline.py stage_a_ingest_documents): same undecodable-
+    document quarantine reason, same /Info provenance columns, same
+    atomic run_id commit."""
+    from pyspark.sql import functions as F
+
+    from ..operators.pdf import decode_pdf_text
+    from ..sources.raw_files import file_stem
+
+    run_id = f"{stream_id}-b{batch_id}"
+    committed = ckpt.committed_run_ids(catalog)
+    if run_id in committed:
+        return "skipped"
+    for t in _AB_APPEND_TABLES:
+        catalog.prune_orphan_runs(t, committed)
+    ckpt.reconcile_versions(catalog, ["edges_agg"])
+
+    decoded = decode_pdf_text(
+        batch_df.select(file_stem(F.col("path")).alias("doc_id"), "content")
+    )
+    docs = decoded.select(
+        "conv_id",
+        F.coalesce(F.col("n_pages"), F.lit(1)).cast("int").alias("n_turns"),
+        "doc_text",
+        F.lit(None).cast("array<string>").alias("roles"),
+        F.lit(None).cast("timestamp").alias("ts_min"),
+        F.lit(None).cast("timestamp").alias("ts_max"),
+        "title",
+        "author",
+    )
+    usable = F.col("doc_text").isNotNull() & (F.length("doc_text") > 0)
+    good = docs.filter(usable)
+    bad = docs.filter(~usable | F.col("doc_text").isNull()).select(
+        "conv_id", F.lit("undecodable_document").alias("reason")
+    )
+    return _commit_ab_docs(
+        catalog, good, bad, run_id, extract_engine=extract_engine
+    )
+
+
+def stream_pdf_pipeline_to_catalog(
+    spark: SparkSession,
+    pdf_dir: str,
+    catalog,
+    checkpoint_path: str | None = None,
+    glob: str = "*.pdf",
+    stream_id: str = "pdf",
+    extract_engine: str = "arrow",
+    cd_every: int | None = None,
+    cd_cfg=None,
+    max_files_per_trigger: int | None = None,
+) -> dict:
+    """Streaming ingest over a directory of PDFs — the reference's own
+    input format (extract.py:65 ``glob("*.pdf")``) as a Structured
+    Streaming file source: new files arriving in ``pdf_dir`` land as
+    documents → triples/nodes under the same exactly-once micro-batch
+    contract as :func:`stream_pipeline_to_catalog`, and ``cd_every=k``
+    runs the in-stream C+D trigger so kg tables converge during the
+    stream.  PDFs are whole files, so the conversations-must-not-
+    straddle-batches caveat of the transcript stream does not arise —
+    every document commits with the batch that saw its file."""
+    _require_checkpoint(checkpoint_path)
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARY_FILE_SCHEMA)
+        .option("pathGlobFilter", glob)
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.load(pdf_dir)
+    state = {"n_batches": 0, "cd_on_last": False}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        _process_pdf_batch(
+            catalog, batch_df, batch_id, stream_id,
+            extract_engine=extract_engine,
         )
         state["n_batches"] += 1
         state["cd_on_last"] = False

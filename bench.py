@@ -31,6 +31,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # measurement (r3 lost a day to a silent host-degradation window;
 # the 2-3x wall inflation observed there came with steal >> 5%)
 STEAL_THRESHOLD_PCT = float(os.environ.get("SPARK_GRAFT_MAX_STEAL_PCT", "5"))
+MAX_BENCH_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
 
 
 def _host_sample() -> dict:
@@ -254,40 +255,43 @@ def bench_ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 32) -> di
             "n_corpus": n_corpus}
 
 
-def bench_pdf_throughput(spark, n_docs: int = 512) -> dict:
-    """PDF-ingest throughput (the round-4 input path): decode a
-    deterministic grammar corpus of ``n_docs`` PDFs (all four stream
-    filters × six show-op modes incl. subset-font CMaps) through the
-    distributed binaryFile → mapInPandas path and report docs/s +
-    MB/s. Generation is cached on disk across runs; only the decode
-    pass is timed."""
+def bench_pdf_decode(spark, n_docs: int = 3000, runs: int = 3) -> dict:
+    """Decode-BOUND PDF throughput (r4 VERDICT next-step #3): a
+    ~110 MB corpus of 3000 multi-page Flate-dominated PDFs
+    (pdfgen.ensure_heavy_pdf_fixture) where per-file stdlib decode
+    (~30 ms) dwarfs listing, so docs/s measures the decoder.  Reports
+    every wall plus the max/min spread — the small-corpus pdf_ingest
+    row's 9× run spread was listing noise; this row is only meaningful
+    if spread < 2."""
     from aisafetyintervention_literatureextraction_spark.operators.pdf import (
         decode_pdf_text,
     )
     from aisafetyintervention_literatureextraction_spark.pdfgen import (
-        ensure_pdf_fixture,
+        ensure_heavy_pdf_fixture,
     )
     from aisafetyintervention_literatureextraction_spark.sources.raw_files import (
         read_raw_files,
     )
 
-    d = f"/tmp/kgbench_pdfs_n{n_docs}"
-    ensure_pdf_fixture(d, n_docs=n_docs, grammar=True)
+    d = f"/tmp/kgbench_pdfs_heavy_n{n_docs}"
+    ensure_heavy_pdf_fixture(d, n_docs=n_docs)
     total_bytes = sum(
         f.stat().st_size for f in __import__("pathlib").Path(d).glob("*.pdf")
     )
     walls = []
-    for _ in range(2):
+    n = 0
+    for _ in range(runs):
         t0 = time.time()
         n = decode_pdf_text(read_raw_files(spark, d, glob="*.pdf")).filter(
             "doc_text IS NOT NULL"
         ).count()
-        walls.append(time.time() - t0)
+        walls.append(round(time.time() - t0, 2))
     wall = min(walls)
     return {
         "n_docs": n,
         "total_mb": round(total_bytes / 1e6, 2),
-        "wall_s": round(wall, 2),
+        "walls_s": walls,
+        "spread": round(max(walls) / max(min(walls), 1e-9), 2),
         "docs_per_sec": round(n / wall, 1),
         "mb_per_sec": round(total_bytes / 1e6 / wall, 2),
     }
@@ -406,7 +410,7 @@ def run_once(cpus: int, sf_dir: str, skip_queries: bool = False,
         queries = {} if skip_queries else bench_queries(spark, sf_dir)
         bucketed = {} if skip_queries else bench_bucketed(spark, path)
         ann = {} if skip_queries else bench_ann_recall(spark, sf_dir)
-        pdf = {} if skip_queries else bench_pdf_throughput(spark)
+        pdf = {} if skip_queries else bench_pdf_decode(spark, n_docs=1500, runs=2)
         return {"extraction": ext, "queries": queries,
                 "bucketed_input": bucketed, "ann_recall": ann,
                 "pdf_ingest": pdf,
@@ -465,6 +469,9 @@ def main() -> None:
                     help="full warehouse build + incremental re-run walls")
     ap.add_argument("--cc-skew", action="store_true",
                     help="connected-components giant-component skew bench")
+    ap.add_argument("--pdf-scale", action="store_true",
+                    help="decode-bound PDF corpus (~110 MB) at 4 and 16 "
+                         "cores: docs/s + MB/s + scaling efficiency")
     ap.add_argument("--cpus", type=int, default=CPUS)
     ap.add_argument("--repeats", type=int, default=3,
                     help="alternating (low, high) measurement pairs for --scaling")
@@ -481,6 +488,41 @@ def main() -> None:
     args = ap.parse_args()
 
     sf = _sf_of(SF_DIR)
+    if args.pdf_scale:
+        from aisafetyintervention_literatureextraction_spark.session import get_spark
+
+        # binaryFile packing: openCostInBytes defaults to 4 MB, which
+        # would put ONE 37 KB file per partition (3000 tasks); 64 KB
+        # cost + 2 MB target packs ~20 files/split → ~150 splits, so
+        # both levels are parallelism-bound on decode, not scheduling
+        extra = {
+            "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(64 * 1024),
+        }
+        levels = {}
+        degraded = False
+        for cpus in (4, 16):
+            spark = get_spark(f"bench-pdf-{cpus}", cpus=cpus,
+                              shuffle_partitions=64, extra_conf=extra)
+            try:
+                h0 = _host_sample()
+                levels[cpus] = bench_pdf_decode(spark)
+                levels[cpus]["host"] = _host_delta(h0, _host_sample())
+                degraded = degraded or levels[cpus]["host"]["degraded"]
+            finally:
+                spark.stop()
+        eff = (levels[16]["docs_per_sec"] / levels[4]["docs_per_sec"]) / 4
+        print(json.dumps({
+            "metric": "pdf_decode_scaling",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "valid": not degraded,
+            "cores": {str(k): v for k, v in levels.items()},
+            "sf": sf,
+        }))
+        if degraded:
+            raise SystemExit(3)
+        return
     if args.cc_skew:
         from aisafetyintervention_literatureextraction_spark.session import get_spark
 
@@ -551,7 +593,17 @@ def main() -> None:
         }))
         return
 
-    res = run_once(args.cpus, SF_DIR)
+    # retry until a clean host window (r4 VERDICT observation #1: the
+    # artifact of record should itself be a valid run, not a degraded
+    # one footnoted in prose) — bounded: after MAX_BENCH_ATTEMPTS
+    # degraded windows the last result is emitted with valid:false
+    attempts = []
+    for attempt in range(MAX_BENCH_ATTEMPTS):
+        res = run_once(args.cpus, SF_DIR)
+        attempts.append(res["host"])
+        if not res["host"]["degraded"]:
+            break
+        time.sleep(30)  # let the steal window pass before re-measuring
     print(json.dumps({
         "metric": "triples_per_sec_e2e",
         "value": round(res["extraction"]["triples_per_sec"], 1),
@@ -565,6 +617,7 @@ def main() -> None:
         "pdf_ingest": res["pdf_ingest"],
         "host": res["host"],
         "valid": not res["host"]["degraded"],
+        "attempts_degraded": len(attempts) - 1,
         "cpus": args.cpus,
     }))
 

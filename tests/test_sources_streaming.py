@@ -400,3 +400,65 @@ def test_stream_pipeline_cd_in_stream(spark, corpus, tmp_path):
     assert cat_s.read("triples_raw").count() == n_triples
     assert cat_s.read("kg_edges").count() == n_edges
     assert rows(cat_s, "kg_edges") == rows(cat_b, "kg_edges")
+
+
+def test_stream_pdf_pipeline_cd_in_stream(spark, tmp_path):
+    """Streaming PDF ingest (r4 VERDICT next-step #6): PDFs arriving
+    across micro-batches (maxFilesPerTrigger=4) through the binaryFile
+    stream + in-stream C+D produce kg tables byte-equal to the batch
+    ``run_pipeline_pdfs`` on the same corpus, /Info provenance
+    included; a full offset replay changes nothing, and an undecodable
+    file quarantines inside its batch."""
+    from aisafetyintervention_literatureextraction_spark.catalog import Catalog
+    from aisafetyintervention_literatureextraction_spark.pdfgen import (
+        ensure_pdf_fixture,
+    )
+    from aisafetyintervention_literatureextraction_spark.plans.pipeline import (
+        PipelineConfig,
+        run_pipeline_pdfs,
+    )
+    from aisafetyintervention_literatureextraction_spark.streaming.catalog_sink import (
+        stream_pdf_pipeline_to_catalog,
+    )
+
+    d = ensure_pdf_fixture(str(tmp_path / "pdfs"), grammar=True)
+    (tmp_path / "pdfs" / "doc_bad.pdf").write_bytes(b"%PDF-1.4 garbage")
+
+    wh_s = str(tmp_path / "wh_s")
+    cat_s = Catalog(spark, wh_s)
+    cfg_s = PipelineConfig(warehouse=wh_s)
+    state = stream_pdf_pipeline_to_catalog(
+        spark, d, cat_s, checkpoint_path=str(tmp_path / "ck1"),
+        cd_every=2, cd_cfg=cfg_s, max_files_per_trigger=4,
+    )
+    assert state["n_batches"] >= 3          # genuinely multi-batch
+    assert state["cd_on_last"] or cat_s.read("kg_edges").count() > 0
+    q = {r.conv_id: r.reason for r in cat_s.read("quarantine").collect()}
+    assert q == {"doc_bad": "undecodable_document"}
+
+    stats_b = run_pipeline_pdfs(spark, d, str(tmp_path / "wh_b"))
+    cat_b = Catalog(spark, str(tmp_path / "wh_b"))
+    assert stats_b["n_triples"] == cat_s.read("triples_raw").count()
+
+    def rows(cat, table):
+        dfr = cat.read(table)
+        cols = sorted(dfr.columns)
+        return sorted(
+            (tuple(repr(r[c]) for c in cols) for r in dfr.collect()), key=repr
+        )
+
+    for t in ["documents", "kg_nodes", "kg_edges", "dangling", "components"]:
+        assert rows(cat_s, t) == rows(cat_b, t), t
+    # provenance reached the stream-built graph
+    titles = {t for r in cat_s.read("kg_nodes").collect()
+              for t in r.source_titles}
+    assert any(t.startswith("Paper ") for t in titles)
+
+    # full offset replay: committed no-ops, identical warehouse
+    n_triples = cat_s.read("triples_raw").count()
+    stream_pdf_pipeline_to_catalog(
+        spark, d, cat_s, checkpoint_path=str(tmp_path / "ck2"),
+        cd_every=2, cd_cfg=cfg_s, max_files_per_trigger=4,
+    )
+    assert cat_s.read("triples_raw").count() == n_triples
+    assert rows(cat_s, "kg_edges") == rows(cat_b, "kg_edges")
