@@ -297,6 +297,137 @@ def bench_pdf_decode(spark, n_docs: int = 3000, runs: int = 3) -> dict:
     }
 
 
+def _stage_ids(spark) -> set:
+    import json as _json
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    if not base:  # spark.ui.enabled=false → no task telemetry
+        return set()
+    apps = _json.load(urllib.request.urlopen(f"{base}/api/v1/applications"))
+    app_id = apps[0]["id"]
+    stages = _json.load(urllib.request.urlopen(
+        f"{base}/api/v1/applications/{app_id}/stages?status=complete"))
+    return {(s["stageId"], s["attemptId"], app_id) for s in stages}
+
+
+def _task_spread(spark, new_stages) -> dict:
+    """max/median task-duration ratio of the dominant (longest-total)
+    stage among ``new_stages`` — straggler evidence for the soak: a
+    hot LSH bucket or a skewed CC reducer shows up here as a big max
+    while the median stays flat."""
+    import json as _json
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    best = None
+    for sid, att, app_id in new_stages:
+        try:
+            s = _json.load(urllib.request.urlopen(
+                f"{base}/api/v1/applications/{app_id}/stages/{sid}/{att}"
+                f"/taskSummary?quantiles=0.0,0.5,1.0"))
+        except Exception:
+            continue
+        dur = s.get("duration") or []
+        if len(dur) == 3 and (best is None or dur[2] > best[2]):
+            best = dur
+    if not best:
+        return {"max_task_ms": None, "median_task_ms": None, "spread": None}
+    med = max(best[1], 1.0)
+    return {
+        "max_task_ms": round(best[2], 1),
+        "median_task_ms": round(best[1], 1),
+        "spread": round(best[2] / med, 2),
+    }
+
+
+def ensure_soak_dir(spark, sf_dir: str, factor: int = 10) -> str:
+    """sf1-class soak input: the sf0.1 documents/embeddings tables
+    fanned out ``factor``× with distinct ids. Document copies carry a
+    per-copy suffix so they are NEAR-duplicates (Jaccard ≈ 1 but not
+    byte-equal — the realistic dup-cluster shape, and a hot-bucket
+    stress: every base doc becomes a 10-member cluster). Embedding
+    copies keep their labels, so the bipartite CC graph gains 10× the
+    vec nodes on the SAME label hubs — the giant-component regime."""
+    out = f"/tmp/kgbench_soak_x{factor}"
+    from pyspark.sql import functions as F
+
+    if not os.path.exists(os.path.join(out, "documents.parquet")):
+        d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        rep = (
+            d.crossJoin(spark.range(factor).select(F.col("id").alias("__c")))
+            .select(
+                (F.col("doc_id") + F.col("__c") * 10_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" c"),
+                         F.col("__c").cast("string")).alias("text"),
+                "lang", "source",
+                (F.col("n_chars") + 3).alias("n_chars"),
+            )
+        )
+        rep.repartition(64).write.mode("overwrite").parquet(
+            os.path.join(out, "documents.parquet"))
+    if not os.path.exists(os.path.join(out, "embeddings.parquet")):
+        e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        rep = (
+            e.crossJoin(spark.range(factor).select(F.col("id").alias("__c")))
+            .select(
+                (F.col("vec_id") + F.col("__c") * 10_000_000).alias("vec_id"),
+                "embedding", "label",
+            )
+        )
+        rep.repartition(64).write.mode("overwrite").parquet(
+            os.path.join(out, "embeddings.parquet"))
+    return out
+
+
+def bench_soak(spark, sf_dir: str, factor: int = 10) -> dict:
+    """sf1-class soak (r4 VERDICT next-step #8): the three heaviest
+    operators at 10× the bench document/vector count, each reporting
+    wall + the dominant stage's max/median task-time spread — the
+    hot-bucket caps and the CC stats fix are only proven where the
+    skew actually bites."""
+    import __spark_entry__ as em
+
+    from aisafetyintervention_literatureextraction_spark.functions.caching import (
+        release_caches,
+    )
+
+    from aisafetyintervention_literatureextraction_spark.operators.dedup import (
+        winnow_duplicate_pairs,
+    )
+
+    soak_dir = ensure_soak_dir(spark, sf_dir, factor)
+    qs = em.queries()
+
+    def winnow_scaled(spark, d):
+        # mirrored-cap semantics: the hot-fingerprint cap bounds the
+        # bucket join in DOCS per fingerprint; a factor× corpus with
+        # the same absolute cap would (correctly, by contract) drop
+        # every fingerprint of a factor×-replicated cluster — scale
+        # the cap with the corpus so per-base-doc behavior compares
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        return winnow_duplicate_pairs(
+            docs, k=8, w=4, min_shared=20, max_bucket_size=64 * factor
+        )
+
+    jobs = {
+        "dedup_minhash_lsh": lambda: qs["dedup_minhash_lsh"](spark, soak_dir),
+        "dedup_winnow_capx%d" % factor: lambda: winnow_scaled(spark, soak_dir),
+        "g5_connected_components": lambda:
+            qs["g5_connected_components"](spark, soak_dir),
+    }
+    out = {"factor": factor}
+    for name, job in jobs.items():
+        before = _stage_ids(spark)
+        t0 = time.time()
+        n = job().count()
+        wall = round(time.time() - t0, 2)
+        release_caches()
+        spread = _task_spread(spark, _stage_ids(spark) - before)
+        out[name] = {"wall_s": wall, "n_rows": n, **spread}
+    return out
+
+
 def bench_cc_skew(spark, n_nodes: int = 200_000) -> dict:
     """Connected-components under a SINGLE GIANT COMPONENT (r3 VERDICT
     next-step #4): the jump join keys on ``component_id``, which is hot
@@ -472,6 +603,9 @@ def main() -> None:
     ap.add_argument("--pdf-scale", action="store_true",
                     help="decode-bound PDF corpus (~110 MB) at 4 and 16 "
                          "cores: docs/s + MB/s + scaling efficiency")
+    ap.add_argument("--soak", action="store_true",
+                    help="sf1-class soak: heavy dedup/CC queries at 10x "
+                         "docs with task-time spread telemetry")
     ap.add_argument("--cpus", type=int, default=CPUS)
     ap.add_argument("--repeats", type=int, default=3,
                     help="alternating (low, high) measurement pairs for --scaling")
@@ -488,6 +622,30 @@ def main() -> None:
     args = ap.parse_args()
 
     sf = _sf_of(SF_DIR)
+    if args.soak:
+        from aisafetyintervention_literatureextraction_spark.session import get_spark
+
+        spark = get_spark(f"bench-soak-{args.cpus}", cpus=args.cpus,
+                          shuffle_partitions=64,
+                          # task-spread telemetry reads the UI REST API
+                          extra_conf={"spark.ui.enabled": "true"})
+        try:
+            h0 = _host_sample()
+            res = bench_soak(spark, SF_DIR)
+            host = _host_delta(h0, _host_sample())
+        finally:
+            spark.stop()
+        print(json.dumps({
+            "metric": "soak_10x",
+            "value": max(v["wall_s"] for k, v in res.items()
+                         if isinstance(v, dict)),
+            "unit": "sec",
+            "valid": not host["degraded"],
+            "host": host,
+            **res,
+            "sf": sf,
+        }))
+        return
     if args.pdf_scale:
         from aisafetyintervention_literatureextraction_spark.session import get_spark
 
