@@ -44,6 +44,11 @@ def test_ard_source(spark, warehouse):
     assert d["http://a"]["doc_text"] == "Paper A\nabs a\nbody text a"
     # null abstract → empty segment, not a null doc
     assert d["http://b"]["doc_text"] == "Paper B\n\nbody text b"
+    # r5: article provenance flows into the document columns the
+    # pipeline threads through to kg_nodes source_titles/authors
+    assert d["http://a"]["title"] == "Paper A"
+    assert d["http://a"]["author"] == "X, Y"
+    assert d["http://b"]["author"] == ""
 
 
 def test_transcripts_reader_validates(spark, warehouse):
