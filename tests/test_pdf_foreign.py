@@ -66,6 +66,21 @@ def test_winansi_base_encoding():
     assert extract_pdf_text(data) == "“scaling laws” – refs"
 
 
+def test_macroman_base_encoding_with_differences():
+    """Mac-producer font: /BaseEncoding /MacRomanEncoding inside an
+    encoding dict, with a /Differences overlay — byte 0xA5 is a bullet
+    in MacRoman (vs yen in Latin-1), and the override still wins where
+    the array says so."""
+    font = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Times "
+            b"/Encoding << /Type /Encoding "
+            b"/BaseEncoding /MacRomanEncoding "
+            b"/Differences [ 1 /fl ] >> >>")
+    cs = b"BT /F1 10 Tf (\\245 item \\001ow) Tj ET"
+    data = build_classic(
+        simple_doc_objects(cs, font_body=font), TRAILER % 6)
+    assert extract_pdf_text(data) == "• item ﬂow"
+
+
 def test_identity_h_cid_no_tounicode():
     """Identity-H Type0 font without /ToUnicode: the 2-byte CIDs are
     private glyph indices with no Unicode contract, so the show must
