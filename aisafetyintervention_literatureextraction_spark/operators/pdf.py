@@ -874,12 +874,19 @@ def _glyph_to_text(name: str) -> Optional[str]:
     m = _UNI_NAME_RE.fullmatch(base)
     if m:
         hx = m.group(1)
-        return "".join(chr(int(hx[i:i + 4], 16))
-                       for i in range(0, len(hx), 4))
+        cps = [int(hx[i:i + 4], 16) for i in range(0, len(hx), 4)]
+        # AGL excludes surrogate values from uniXXXX; a lone surrogate
+        # would also crash the Arrow string conversion of the WHOLE
+        # mapInPandas batch instead of quarantining one bad PDF
+        if any(0xD800 <= cp <= 0xDFFF for cp in cps):
+            return None
+        return "".join(chr(cp) for cp in cps)
     m = _U_NAME_RE.fullmatch(base)
     if m:
         cp = int(m.group(1), 16)
-        return chr(cp) if cp < 0x110000 else None
+        if 0xD800 <= cp <= 0xDFFF or cp >= 0x110000:
+            return None
+        return chr(cp)
     return None
 
 
@@ -947,7 +954,10 @@ def _decode_with_font(b: bytes, font) -> str:
             # nothing (matches pdfminer's CID-no-unicode behavior)
             continue
         else:
-            out.append(chr(code) if code < 0x110000 else "")
+            # surrogate guard: a lone chr(0xD800..0xDFFF) would crash
+            # the Arrow conversion of the whole batch downstream
+            ok = code < 0x110000 and not (0xD800 <= code <= 0xDFFF)
+            out.append(chr(code) if ok else "")
     return "".join(out)
 
 

@@ -371,16 +371,20 @@ def train_ivf_centroids(
     k = min(n_cells, len(X))
     # kmeans++ seeding (D²-weighted): on the same corpus/queries this
     # measures a few recall points over uniform-random init at equal
-    # n_probe (r5 sweep), for one extra (train × k) matmul at fit time
+    # n_probe (r5 sweep). Incremental form — a running best-sim vector
+    # updated against only the NEWEST centroid keeps the fit at
+    # O(n·k·d) instead of the naive O(n·k²·d) rebuild per pick.
     C_list = [X[rng.integers(len(X))]]
+    best_sim = X @ C_list[0]
     for _ in range(k - 1):
-        sims = X @ np.stack(C_list).T
-        d2 = np.maximum(0.0, 1.0 - sims.max(axis=1)) ** 2
+        d2 = np.maximum(0.0, 1.0 - best_sim) ** 2
         tot = d2.sum()
         if tot <= 0:  # degenerate corpus: all points already covered
-            C_list.append(X[rng.integers(len(X))])
-            continue
-        C_list.append(X[rng.choice(len(X), p=d2 / tot)])
+            idx = rng.integers(len(X))
+        else:
+            idx = rng.choice(len(X), p=d2 / tot)
+        C_list.append(X[idx])
+        best_sim = np.maximum(best_sim, X @ X[idx])
     C = np.stack(C_list)
     for _ in range(20):
         # unit vectors: cosine argmax == euclidean nearest

@@ -490,18 +490,28 @@ def ensure_heavy_pdf_fixture(dirpath: str, n_docs: int = 3000,
     generation is a one-time ~1 min cost, the bench reads only."""
     import pathlib
 
-    d = pathlib.Path(dirpath)
-    d.mkdir(parents=True, exist_ok=True)
-    for i in range(n_docs):
-        p = d / f"doc_{i:05d}.pdf"
-        if p.exists():
-            continue
-        data = build_pdf(
+    import shutil
+
+    def gen(i: int) -> bytes:
+        return build_pdf(
             heavy_doc_pages(i, n_pages=n_pages),
             mode=_MODES[i % 3],  # tj / tjarr / quote
             stream_filter=_HEAVY_FILTERS[i % len(_HEAVY_FILTERS)],
             xref_stream=(i % 3 == 0),
             info={"Title": f"Heavy paper {i}", "Author": f"Author {i % 7}"},
         )
-        p.write_bytes(data)
+
+    d = pathlib.Path(dirpath)
+    # staleness sentinel: per-file existence checks would silently keep
+    # serving bytes from a PREVIOUS generator/codec version (exactly the
+    # failure mode of the r5 LZW convention change) — if file 0 doesn't
+    # byte-match the current generator, the whole corpus is rebuilt
+    probe = d / "doc_00000.pdf"
+    if probe.exists() and probe.read_bytes() != gen(0):
+        shutil.rmtree(d)
+    d.mkdir(parents=True, exist_ok=True)
+    for i in range(n_docs):
+        p = d / f"doc_{i:05d}.pdf"
+        if not p.exists():
+            p.write_bytes(gen(i))
     return str(d)

@@ -383,12 +383,22 @@ def stage_d_materialize(cat: Catalog, cfg: PipelineConfig):
     else:
         edges_agg = aggregate_raw_edges(cat.read("triples_raw"))
     docs = cat.read("documents")
+    docs_meta = None
+    if "title" in docs.columns:  # legacy warehouses predate the columns
+        meta = docs.filter(
+            F.col("title").isNotNull() | F.col("author").isNotNull()
+        ).select("conv_id", "title", "author")
+        # pure-transcript corpora have all-null provenance: one cheap
+        # pushdown-filtered probe here skips the evidence explode +
+        # join in materialize entirely (collect_set drops nulls, so
+        # the filter itself never changes the result)
+        if not meta.isEmpty():
+            docs_meta = meta
     g = materialize_from_agg(
         cat.read("candidate_nodes"),
         edges_agg,
         cat.read("components"),
-        # legacy warehouses predate the provenance columns
-        docs_meta=docs if "title" in docs.columns else None,
+        docs_meta=docs_meta,
     )
     cat.overwrite(g.nodes, "kg_nodes", run_id=run_id)
     cat.overwrite(g.edges, "kg_edges", run_id=run_id)

@@ -66,6 +66,23 @@ def test_winansi_base_encoding():
     assert extract_pdf_text(data) == "“scaling laws” – refs"
 
 
+def test_surrogate_glyph_names_rejected():
+    """A malformed /Differences name like /uniD800 (a lone UTF-16
+    surrogate — AGL excludes the range) must decode to NOTHING, never
+    to chr(0xD800): a lone surrogate in doc_text crashes the Arrow
+    conversion of the whole mapInPandas batch downstream, turning one
+    bad PDF into a failed ingest job instead of a quarantine row."""
+    font = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Broken "
+            b"/Encoding << /Type /Encoding "
+            b"/Differences [ 1 /uniD800 /uDFFF /uni0041D800 ] >> >>")
+    cs = b"BT /F1 10 Tf (\\001\\002\\003 ok) Tj ET"
+    data = build_classic(
+        simple_doc_objects(cs, font_body=font), TRAILER % 6)
+    text = extract_pdf_text(data)
+    assert text == "\x01\x02\x03 ok"  # base meaning kept, no surrogates
+    text.encode("utf-8")  # must be Arrow/UTF-8-serializable
+
+
 def test_macroman_base_encoding_with_differences():
     """Mac-producer font: /BaseEncoding /MacRomanEncoding inside an
     encoding dict, with a /Differences overlay — byte 0xA5 is a bullet
