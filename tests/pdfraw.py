@@ -117,3 +117,83 @@ def simple_doc_objects(content_stream: bytes,
     if extra:
         objs.update(extra)
     return objs
+
+
+# -- encrypted fixtures (PDF 32000 §7.6.3, standard security handler) --
+
+ENC_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E,
+    0x56, 0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68,
+    0x3E, 0x80, 0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+
+
+def rc4(key, data):
+    S = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + S[i] + key[i % len(key)]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray()
+    i = j = 0
+    for b in data:
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out.append(b ^ S[(S[i] + S[j]) & 0xFF])
+    return bytes(out)
+
+
+def encrypt_pdf_fixture(text_ops: bytes, r: int = 3, length: int = 128,
+                         p: int = -44):
+    """Spec-side (writer) implementation of Algorithms 2/3/5, written
+    from PDF 32000 §7.6.3 independently of operators/pdf.py: derives
+    O for empty owner password, the file key for empty user password,
+    U, and RC4-encrypts the content stream per-object."""
+    import hashlib
+    import struct
+
+    id0 = bytes(range(16))
+    n = 5 if r == 2 else length // 8
+    # Algorithm 3: /O from the (empty) owner password
+    h = hashlib.md5(ENC_PAD).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    okey = h[:n]
+    o = rc4(okey, ENC_PAD)
+    if r >= 3:
+        for i in range(1, 20):
+            o = rc4(bytes(b ^ i for b in okey), o)
+    # Algorithm 2: file key for the empty user password
+    h = hashlib.md5(
+        ENC_PAD + o + struct.pack("<I", p & 0xFFFFFFFF) + id0
+    ).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+    key = h[:n]
+    # Algorithm 4/5: /U
+    if r == 2:
+        u = rc4(key, ENC_PAD)
+    else:
+        u = rc4(key, hashlib.md5(ENC_PAD + id0).digest())
+        for i in range(1, 20):
+            u = rc4(bytes(b ^ i for b in key), u)
+        u = u + b"\x00" * 16
+
+    def objkey(num, gen=0):
+        return hashlib.md5(
+            key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+        ).digest()[: min(n + 5, 16)]
+
+    # content stream is object 4 in the simple_doc_objects scaffold
+    enc_cs = rc4(objkey(4), text_ops)
+    objs = simple_doc_objects(enc_cs)
+    v = 1 if r == 2 else 2
+    objs[5] = (b"<< /Filter /Standard /V %d /R %d /Length %d "
+               b"/O <%s> /U <%s> /P %d >>"
+               % (v, r, length, o.hex().encode(), u.hex().encode(), p))
+    trailer = (b"<< /Size 7 /Root 1 0 R /Encrypt 5 0 R /ID [<%s> <%s>] >>"
+               % (id0.hex().encode(), id0.hex().encode()))
+    return build_classic(objs, trailer), key, objkey
