@@ -85,12 +85,94 @@ class Ref:
 
 
 class _Stream:
-    """An indirect object carrying a raw stream body."""
+    """An indirect object carrying a raw stream body (num/gen retained
+    for per-object decryption keys)."""
 
-    __slots__ = ("dict", "raw")
+    __slots__ = ("dict", "raw", "num", "gen")
 
-    def __init__(self, d: dict, raw: bytes):
+    def __init__(self, d: dict, raw: bytes, num: int = 0, gen: int = 0):
         self.dict, self.raw = d, raw
+        self.num, self.gen = num, gen
+
+
+# -- standard security handler (PDF 32000 §7.6.3) ---------------------
+# RC4 ("V1/V2") encryption with the EMPTY user password — the common
+# publisher case (files openable by any reader but flagged encrypted).
+# AES (V≥4 /AESV2) and real passwords raise, which the Spark ingest
+# path turns into a quarantine row instead of extracted garbage.
+
+_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E,
+    0x56, 0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68,
+    0x3E, 0x80, 0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    S = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + S[i] + key[i % len(key)]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, byte in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[k] = byte ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+def _std_file_key(o: bytes, p: int, id0: bytes, r: int, n: int) -> bytes:
+    """Algorithm 2 with the empty user password: file encryption key
+    of ``n`` bytes (n = /Length/8, 5 for R2)."""
+    import hashlib
+    import struct
+
+    h = hashlib.md5(
+        _PAD + o[:32] + struct.pack("<I", p & 0xFFFFFFFF) + id0
+    ).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+    return h[:n]
+
+
+def _std_user_check(key: bytes, u: bytes, id0: bytes, r: int) -> bool:
+    """Algorithm 4 (R2) / 5 (R3): does the derived key reproduce /U —
+    i.e. does the EMPTY user password open this file?"""
+    import hashlib
+
+    if r == 2:
+        return _rc4(key, _PAD) == u[:32]
+    x = _rc4(key, hashlib.md5(_PAD + id0).digest())
+    for i in range(1, 20):
+        x = _rc4(bytes(b ^ i for b in key), x)
+    return x == u[:16]
+
+
+def _obj_key(file_key: bytes, num: int, gen: int) -> bytes:
+    """Per-object RC4 key: MD5(file key + objnum LE24 + gen LE16),
+    truncated to min(n+5, 16)."""
+    import hashlib
+
+    h = hashlib.md5(
+        file_key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+    ).digest()
+    return h[: min(len(file_key) + 5, 16)]
+
+
+def _decrypt_strings(val, key: bytes):
+    """Recursively RC4-decrypt the STRING values of one parsed object
+    (names/numbers untouched; a ``Name`` is a ``str``, never bytes)."""
+    if isinstance(val, bytes):
+        return _rc4(key, val)
+    if isinstance(val, list):
+        return [_decrypt_strings(v, key) for v in val]
+    if isinstance(val, dict):
+        return {k: _decrypt_strings(v, key) for k, v in val.items()}
+    return val
 
 
 def _skip_ws(buf: bytes, i: int) -> int:
@@ -357,12 +439,48 @@ class PdfDocument:
         self.xref: dict[int, tuple[str, int, int]] = {}
         self.trailer: dict = {}
         self._cache: dict[int, object] = {}
+        self._enc: Optional[dict] = None
         try:
             self._load_xref()
         except Exception:
             self.xref.clear()
         if not self.xref or "Root" not in self.trailer:
             self._brute_scan()
+        if "Encrypt" in self.trailer:
+            # objects parsed before this point (xref streams, the
+            # Encrypt dict itself) are unencrypted by spec
+            self._enc = self._setup_encryption()
+
+    def _setup_encryption(self) -> dict:
+        """Standard-handler setup: derive the file key for the EMPTY
+        user password and verify it against /U. Raises for AES/crypt
+        filters (V≥4), non-Standard handlers, and real passwords —
+        the ingest path quarantines on these instead of emitting
+        RC4-garbage text."""
+        enc = self.resolve(self.trailer["Encrypt"])
+        if isinstance(enc, _Stream):
+            enc = enc.dict
+        if not isinstance(enc, dict):
+            raise ValueError("pdf: malformed /Encrypt")
+        if str(enc.get("Filter")) != "Standard":
+            raise ValueError(
+                f"pdf: unsupported security handler {enc.get('Filter')}")
+        v = int(self.resolve(enc.get("V")) or 0)
+        r = int(self.resolve(enc.get("R")) or 2)
+        if v not in (1, 2) or r not in (2, 3):
+            raise ValueError(f"pdf: unsupported encryption V={v} R={r}")
+        o = self.resolve(enc.get("O"))
+        u = self.resolve(enc.get("U"))
+        p = int(self.resolve(enc.get("P")))
+        if not isinstance(o, bytes) or not isinstance(u, bytes):
+            raise ValueError("pdf: malformed /Encrypt O/U")
+        n = 5 if r == 2 else int(self.resolve(enc.get("Length")) or 40) // 8
+        ids = self.resolve(self.trailer.get("ID"))
+        id0 = ids[0] if isinstance(ids, list) and ids else b""
+        key = _std_file_key(o, p, id0, r, n)
+        if not _std_user_check(key, u, id0, r):
+            raise ValueError("pdf: password protected")
+        return {"key": key}
 
     # -- xref ---------------------------------------------------------
     def _load_xref(self) -> None:
@@ -493,6 +611,7 @@ class PdfDocument:
         m = re.match(rb"(\d+)\s+(\d+)\s+obj", data[i:i + 40])
         if not m:
             raise ValueError(f"pdf: no object header at byte {i}")
+        num, gen = int(m.group(1)), int(m.group(2))
         val, j = _parse_object(data, i + m.end())
         j = _skip_ws(data, j)
         if isinstance(val, dict) and data[j:j + 6] == b"stream":
@@ -507,7 +626,12 @@ class PdfDocument:
             else:  # damaged /Length: scan for endstream
                 end = data.index(b"endstream", j)
                 raw = data[j:end].rstrip(b"\r\n")
-            return _Stream(val, raw)
+            if self._enc:
+                val = _decrypt_strings(
+                    val, _obj_key(self._enc["key"], num, gen))
+            return _Stream(val, raw, num, gen)
+        if self._enc:
+            val = _decrypt_strings(val, _obj_key(self._enc["key"], num, gen))
         return val
 
     def get(self, num: int):
@@ -553,6 +677,10 @@ class PdfDocument:
     # -- streams ------------------------------------------------------
     def _decode_stream(self, stm: _Stream) -> bytes:
         data = stm.raw
+        # cross-reference streams are never encrypted (they must be
+        # readable before the key exists, §7.5.8.2)
+        if self._enc and stm.dict.get("Type") != "XRef":
+            data = _rc4(_obj_key(self._enc["key"], stm.num, stm.gen), data)
         filters = self.resolve(stm.dict.get("Filter"))
         if filters is None:
             return data
@@ -1084,15 +1212,30 @@ PDF_DOC_SCHEMA = StructType([
     StructField("n_pages", IntegerType(), True),
     StructField("title", StringType(), True),     # trailer /Info provenance
     StructField("author", StringType(), True),
+    # null on success; classified quarantine reason on failure
+    # (undecodable_document | encrypted_pdf | encrypted_pdf_unsupported)
+    StructField("decode_error", StringType(), True),
 ])
+
+
+def _classify_decode_error(exc: Exception) -> str:
+    """Quarantine reason taxonomy: operators should be able to tell a
+    policy problem (encryption) from a parse failure at a glance."""
+    msg = str(exc)
+    if "password protected" in msg:
+        return "encrypted_pdf"
+    if "unsupported encryption" in msg or "unsupported security" in msg:
+        return "encrypted_pdf_unsupported"
+    return "undecodable_document"
 
 
 def decode_pdf_text(files: DataFrame) -> DataFrame:
     """(doc_id, content) binaryFile rows → (conv_id, doc_text, n_pages)
     via Arrow-batched ``mapInPandas``; per-file decode runs where the
     bytes already are (no shuffle — the scan's file splits are the
-    parallelism), and an undecodable file yields null text instead of
-    failing the stage (quarantine-style, as in multimodal decode)."""
+    parallelism), and an undecodable file yields null text plus a
+    classified ``decode_error`` reason instead of failing the stage
+    (quarantine-style, as in multimodal decode)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1100,6 +1243,7 @@ def decode_pdf_text(files: DataFrame) -> DataFrame:
             npages: list[Optional[int]] = []
             titles: list[Optional[str]] = []
             authors: list[Optional[str]] = []
+            errors: list[Optional[str]] = []
             for blob in pdf["content"]:
                 try:
                     doc = PdfDocument(bytes(blob))
@@ -1111,17 +1255,20 @@ def decode_pdf_text(files: DataFrame) -> DataFrame:
                     info = doc.info()
                     titles.append(info.get("Title"))
                     authors.append(info.get("Author"))
-                except Exception:
+                    errors.append(None)
+                except Exception as exc:
                     texts.append(None)
                     npages.append(None)
                     titles.append(None)
                     authors.append(None)
+                    errors.append(_classify_decode_error(exc))
             yield pd.DataFrame({
                 "conv_id": pdf["doc_id"].astype(str),
                 "doc_text": pd.array(texts, dtype="string"),
                 "n_pages": pd.array(npages, dtype="Int32"),
                 "title": pd.array(titles, dtype="string"),
                 "author": pd.array(authors, dtype="string"),
+                "decode_error": pd.array(errors, dtype="string"),
             })
 
     return files.select("doc_id", "content").mapInPandas(

@@ -112,6 +112,12 @@ def stage_a_ingest_documents(
     for prov in ("title", "author"):  # provenance optional per source
         if prov not in docs.columns:
             docs = docs.withColumn(prov, F.lit(None).cast("string"))
+    # classified per-row quarantine reason (e.g. the PDF decoder's
+    # encrypted_pdf vs undecodable_document) — optional per source
+    reason = (F.coalesce(F.col("quarantine_reason"),
+                         F.lit("undecodable_document"))
+              if "quarantine_reason" in docs.columns
+              else F.lit("undecodable_document"))
     docs = docs.select(
         "conv_id",
         F.coalesce(F.col("n_turns"), F.lit(1)).cast("int").alias("n_turns"),
@@ -121,16 +127,17 @@ def stage_a_ingest_documents(
         F.lit(None).cast("timestamp").alias("ts_max"),
         F.col("title").cast("string").alias("title"),
         F.col("author").cast("string").alias("author"),
+        reason.alias("__reason"),
     )
     pending = ckpt.pending(cat, "A_reassemble", docs) if cfg.resume else docs
     # a failed decode yields null text; a structurally-valid file with
     # no extractable text yields "" — both are undecodable for a text
     # pipeline and quarantine rather than flowing into extraction
     usable = F.col("doc_text").isNotNull() & (F.length("doc_text") > 0)
-    good = caching.track(pending.filter(usable))
+    good = caching.track(pending.filter(usable).drop("__reason"))
     bad = caching.track(
         pending.filter(~usable | F.col("doc_text").isNull()).select(
-            "conv_id", F.lit("undecodable_document").alias("reason")
+            "conv_id", F.col("__reason").alias("reason")
         )
     )
     cat.append(good, "documents", run_id=run_id)
@@ -468,6 +475,7 @@ def run_pipeline_pdfs(
     docs = decode_pdf_text(read_raw_files(spark, pdf_dir, glob=glob)).select(
         "conv_id", F.col("n_pages").alias("n_turns"), "doc_text",
         "title", "author",  # /Info provenance → documents → stage D
+        F.col("decode_error").alias("quarantine_reason"),
     )
     stage_a_ingest_documents(cat, docs, cfg)
     stage_b_extract(cat, cfg)

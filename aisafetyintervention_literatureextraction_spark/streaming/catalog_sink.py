@@ -333,11 +333,14 @@ def _process_pdf_batch(
         F.lit(None).cast("timestamp").alias("ts_max"),
         "title",
         "author",
+        "decode_error",
     )
     usable = F.col("doc_text").isNotNull() & (F.length("doc_text") > 0)
-    good = docs.filter(usable)
+    good = docs.filter(usable).drop("decode_error")
     bad = docs.filter(~usable | F.col("doc_text").isNull()).select(
-        "conv_id", F.lit("undecodable_document").alias("reason")
+        "conv_id",
+        F.coalesce(F.col("decode_error"),
+                   F.lit("undecodable_document")).alias("reason"),
     )
     return _commit_ab_docs(
         catalog, good, bad, run_id, extract_engine=extract_engine

@@ -142,15 +142,27 @@ def test_pdf_dir_full_pipeline(spark, tmp_path):
         run_pipeline_pdfs,
     )
 
+    from pdfraw import encrypt_pdf_fixture
+
     d = ensure_pdf_fixture(str(tmp_path / "pdfs"), grammar=True)
     (tmp_path / "pdfs" / "doc_bad.pdf").write_bytes(b"%PDF-1.4 garbage")
+    # an RC4 empty-user-password PDF must DECODE (common publisher
+    # case), a real-password one must quarantine with its own reason
+    open_enc, _, _ = encrypt_pdf_fixture(b"BT (rc4 body text) Tj ET")
+    (tmp_path / "pdfs" / "doc_rc4.pdf").write_bytes(open_enc)
+    (tmp_path / "pdfs" / "doc_locked.pdf").write_bytes(
+        open_enc.replace(b"/U <", b"/U <ff", 1))
     wh = str(tmp_path / "wh")
     stats = run_pipeline_pdfs(spark, d, wh)
     assert stats["n_triples"] == N_DOCS  # one grammar edge per doc
     assert stats["n_kg_edges"] > 0 and stats["n_kg_nodes"] > 0
     cat = Catalog(spark, wh)
     q = {r.conv_id: r.reason for r in cat.read("quarantine").collect()}
-    assert q == {"doc_bad": "undecodable_document"}
+    assert q == {"doc_bad": "undecodable_document",
+                 "doc_locked": "encrypted_pdf"}
+    rc4_doc = {r.conv_id: r.doc_text
+               for r in cat.read("documents").collect()}["doc_rc4"]
+    assert rc4_doc == "rc4 body text"
     # subj/obj carry the fixture's grammar entities
     subjs = {r.subj for r in cat.read("triples_raw").select("subj").collect()}
     assert subjs == {f"method {i}" for i in range(N_DOCS)}

@@ -23,6 +23,8 @@ from aisafetyintervention_literatureextraction_spark.operators.pdf import (
 
 from pdfraw import (
     append_update,
+    encrypt_pdf_fixture,
+    rc4,
     build_classic,
     simple_doc_objects,
     wrap_obj,
@@ -220,3 +222,48 @@ def test_incremental_update_redefines_object():
         trailer_body=b"<< /Size 5 /Root 1 0 R /Prev %d >>"
         % _startxref(base))
     assert extract_pdf_text(upd) == "version two"
+
+
+def test_rc4_encrypted_empty_user_password():
+    """RC4-encrypted file with the empty user password (the common
+    publisher case): key derivation + /U verification + per-object
+    stream decryption must reproduce the text. The writer half is an
+    independent spec implementation, so a derivation bug on either
+    side breaks the round-trip."""
+    for r, length in ((2, 40), (3, 128)):
+        data, _, _ = encrypt_pdf_fixture(
+            b"BT (rc4 secured text) Tj ET", r=r, length=length)
+        assert extract_pdf_text(data) == "rc4 secured text", (r, length)
+
+
+def test_encrypted_info_strings_decrypt():
+    """/Info metadata strings are encrypted per-object too — title
+    provenance must come out decrypted."""
+    data, key, objkey = encrypt_pdf_fixture(b"BT (body) Tj ET")
+    # splice an /Info object (6) with an encrypted Title via an
+    # incremental update referencing the same /Encrypt
+    title = rc4(objkey(6), b"Secret Title")
+    upd = append_update(
+        data, {6: b"<< /Title <%s> >>" % title.hex().encode()}, (),
+        b"<< /Size 7 /Root 1 0 R /Encrypt 5 0 R /Info 6 0 R "
+        b"/ID [<%s> <%s>] /Prev %d >>"
+        % (bytes(range(16)).hex().encode(),
+           bytes(range(16)).hex().encode(), _startxref(data)))
+    doc = PdfDocument(upd)
+    assert doc.info().get("Title") == "Secret Title"
+    assert extract_pdf_text(upd) == "body"
+
+
+def test_password_protected_and_aes_quarantine():
+    """A REAL user password (U mismatch) and AES (/V 4) must raise —
+    the Spark decode path then quarantines the file instead of
+    emitting RC4-garbage doc_text."""
+    import pytest
+
+    data, _, _ = encrypt_pdf_fixture(b"BT (locked) Tj ET")
+    bad_u = data.replace(b"/U <", b"/U <ff", 1)  # corrupt U = wrong pwd
+    with pytest.raises(ValueError, match="password"):
+        PdfDocument(bad_u)
+    aes = data.replace(b"/V 2 /R 3", b"/V 4 /R 4", 1)
+    with pytest.raises(ValueError, match="unsupported"):
+        PdfDocument(aes)
