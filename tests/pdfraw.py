@@ -145,7 +145,7 @@ def rc4(key, data):
 
 
 def encrypt_pdf_fixture(text_ops: bytes, r: int = 3, length: int = 128,
-                         p: int = -44):
+                         p: int = -44, method: str = "rc4"):
     """Spec-side (writer) implementation of Algorithms 2/3/5, written
     from PDF 32000 §7.6.3 independently of operators/pdf.py: derives
     O for empty owner password, the file key for empty user password,
@@ -188,12 +188,114 @@ def encrypt_pdf_fixture(text_ops: bytes, r: int = 3, length: int = 128,
         ).digest()[: min(n + 5, 16)]
 
     # content stream is object 4 in the simple_doc_objects scaffold
-    enc_cs = rc4(objkey(4), text_ops)
+    if method == "aes":
+        import hashlib as _hl
+
+        akey = _hl.md5(
+            key + (4).to_bytes(3, "little") + (0).to_bytes(2, "little")
+            + b"sAlT").digest()[: min(n + 5, 16)]
+        enc_cs = aes_cbc_encrypt(akey, text_ops, iv=bytes(range(16)))
+    else:
+        enc_cs = rc4(objkey(4), text_ops)
     objs = simple_doc_objects(enc_cs)
-    v = 1 if r == 2 else 2
-    objs[5] = (b"<< /Filter /Standard /V %d /R %d /Length %d "
-               b"/O <%s> /U <%s> /P %d >>"
-               % (v, r, length, o.hex().encode(), u.hex().encode(), p))
+    if method == "aes":
+        objs[5] = (b"<< /Filter /Standard /V 4 /R 4 /Length %d "
+                   b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+                   b"/StmF /StdCF /StrF /StdCF "
+                   b"/O <%s> /U <%s> /P %d >>"
+                   % (length, o.hex().encode(), u.hex().encode(), p))
+    else:
+        v = 1 if r == 2 else 2
+        objs[5] = (b"<< /Filter /Standard /V %d /R %d /Length %d "
+                   b"/O <%s> /U <%s> /P %d >>"
+                   % (v, r, length, o.hex().encode(), u.hex().encode(), p))
     trailer = (b"<< /Size 7 /Root 1 0 R /Encrypt 5 0 R /ID [<%s> <%s>] >>"
                % (id0.hex().encode(), id0.hex().encode()))
     return build_classic(objs, trailer), key, objkey
+
+
+# -- forward AES-128 (FIPS-197) for AESV2 fixture encryption ----------
+
+_SBOX = None
+
+
+def _sbox():
+    global _SBOX
+    if _SBOX is None:
+        # affine map over GF(2^8) inverses (generator walk)
+        box = [0] * 256
+        p = q = 1
+        while True:
+            p = p ^ ((p << 1) & 0xFF) ^ (0x1B if p & 0x80 else 0)
+            q ^= q << 1
+            q ^= q << 2
+            q ^= q << 4
+            q &= 0xFF
+            if q & 0x80:
+                q ^= 0x09
+            x = (q ^ (q << 1) ^ (q >> 7) ^ (q << 2) ^ (q >> 6)
+                 ^ (q << 3) ^ (q >> 5) ^ (q << 4) ^ (q >> 4))
+            box[p] = (x ^ 0x63) & 0xFF
+            if p == 1:
+                break
+        box[0] = 0x63
+        _SBOX = box
+    return _SBOX
+
+
+def _aes_keys(key):
+    sb = _sbox()
+    rcon = [0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36]
+    nk = len(key) // 4
+    nr = nk + 6
+    w = [list(key[4 * i:4 * i + 4]) for i in range(nk)]
+    for i in range(nk, 4 * (nr + 1)):
+        t = list(w[i - 1])
+        if i % nk == 0:
+            t = [sb[b] for b in t[1:] + t[:1]]
+            t[0] ^= rcon[i // nk - 1]
+        elif nk > 6 and i % nk == 4:
+            t = [sb[b] for b in t]
+        w.append([w[i - nk][j] ^ t[j] for j in range(4)])
+    return [[b for c in range(4) for b in w[4 * r + c]]
+            for r in range(nr + 1)]
+
+
+def _xt(a):
+    return ((a << 1) ^ 0x1B) & 0xFF if a & 0x80 else a << 1
+
+
+def _aes_encrypt_block(block, rks):
+    sb = _sbox()
+    nr = len(rks) - 1
+    s = [block[i] ^ rks[0][i] for i in range(16)]
+    for rnd in range(1, nr + 1):
+        s = [sb[b] for b in s]                       # SubBytes
+        s = [s[(i + 4 * (i % 4)) % 16] for i in range(16)]  # ShiftRows
+        if rnd != nr:                                # MixColumns
+            t = []
+            for c in range(4):
+                a = s[4 * c:4 * c + 4]
+                t += [
+                    _xt(a[0]) ^ _xt(a[1]) ^ a[1] ^ a[2] ^ a[3],
+                    a[0] ^ _xt(a[1]) ^ _xt(a[2]) ^ a[2] ^ a[3],
+                    a[0] ^ a[1] ^ _xt(a[2]) ^ _xt(a[3]) ^ a[3],
+                    _xt(a[0]) ^ a[0] ^ a[1] ^ a[2] ^ _xt(a[3]),
+                ]
+            s = t
+        s = [s[i] ^ rks[rnd][i] for i in range(16)]  # AddRoundKey
+    return bytes(s)
+
+
+def aes_cbc_encrypt(key, data, iv=b"\x00" * 16):
+    """AESV2 writer side: PKCS#5 pad, CBC, prefix the IV."""
+    rks = _aes_keys(key)
+    pad = 16 - (len(data) % 16)
+    data = data + bytes([pad]) * pad
+    out = bytearray(iv)
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[i:i + 16], prev))
+        prev = _aes_encrypt_block(blk, rks)
+        out += prev
+    return bytes(out)

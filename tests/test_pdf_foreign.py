@@ -254,16 +254,30 @@ def test_encrypted_info_strings_decrypt():
     assert extract_pdf_text(upd) == "body"
 
 
-def test_password_protected_and_aes_quarantine():
-    """A REAL user password (U mismatch) and AES (/V 4) must raise —
-    the Spark decode path then quarantines the file instead of
-    emitting RC4-garbage doc_text."""
+def test_aesv2_encrypted_decodes():
+    """/V 4 crypt-filter file with /CFM /AESV2 (AES-128-CBC, the
+    modern common case): the pure-stdlib inverse cipher — validated
+    against the FIPS-197 vectors — must reproduce the text through
+    the per-object sAlT key derivation."""
+    data, _, _ = encrypt_pdf_fixture(
+        b"BT (aes secured text) Tj ET", method="aes")
+    assert extract_pdf_text(data) == "aes secured text"
+
+
+def test_password_protected_and_unsupported_quarantine():
+    """A REAL user password (U mismatch) and an unsupported version
+    (/V 5 AES-256) must raise — the Spark decode path then quarantines
+    the file instead of emitting garbage doc_text."""
     import pytest
 
     data, _, _ = encrypt_pdf_fixture(b"BT (locked) Tj ET")
     bad_u = data.replace(b"/U <", b"/U <ff", 1)  # corrupt U = wrong pwd
     with pytest.raises(ValueError, match="password"):
         PdfDocument(bad_u)
-    aes = data.replace(b"/V 2 /R 3", b"/V 4 /R 4", 1)
+    v5 = data.replace(b"/V 2 /R 3", b"/V 5 /R 6", 1)
     with pytest.raises(ValueError, match="unsupported"):
-        PdfDocument(aes)
+        PdfDocument(v5)
+    aes_bad = encrypt_pdf_fixture(b"BT (x) Tj ET", method="aes")[0]
+    aes_bad = aes_bad.replace(b"/CFM /AESV2", b"/CFM /AESV3", 1)
+    with pytest.raises(ValueError, match="unsupported"):
+        PdfDocument(aes_bad)
