@@ -32,14 +32,16 @@ stdlib-only (``re`` + ``zlib``):
   update cannot resurrect from an older ``/Prev`` section; hybrid-
   reference files (``/XRefStm``) give the stream's entries precedence
   over their own classic section (PDF 32000 §7.5.8.4).
-- **encryption** (§7.6.3, standard security handler, EMPTY user
-  password — the publisher case): RC4 V1/V2 R2/R3 and V4 crypt
-  filters with ``/CFM /V2`` (RC4) or ``/CFM /AESV2`` (AES-128-CBC;
-  FIPS-197 inverse cipher validated against the appendix-C vectors,
-  numpy block-parallel CBC at ~8 MB/s).  Real passwords and AES-256
-  (V5) raise, which the ingest path classifies into quarantine
-  reasons (``encrypted_pdf`` / ``encrypted_pdf_unsupported``) instead
-  of emitting garbage text.
+- **encryption** (§7.6.3-7.6.4, standard security handler, EMPTY user
+  password — the publisher case): RC4 V1/V2 R2/R3, V4 crypt filters
+  with ``/CFM /V2`` (RC4) or ``/CFM /AESV2`` (AES-128-CBC), and V5
+  AES-256 — deprecated R5 and PDF 2.0 R6 (Algorithm 2.B KDF, /UE
+  file-key unwrap).  The FIPS-197 cipher is validated against the
+  appendix-C vectors; CBC decryption runs as one numpy block-parallel
+  batch (~8 MB/s).  Real passwords and unknown versions raise, which
+  the ingest path classifies into quarantine reasons
+  (``encrypted_pdf`` / ``encrypted_pdf_unsupported``) instead of
+  emitting garbage text.
 - **text operators**: page-tree walk (``/Root → /Pages → /Kids``),
   per-page ``/Contents`` concatenation, then a content-stream scan of
   ``BT``/``ET`` text objects handling ``Tj``, ``TJ`` (kern-aware:
@@ -277,6 +279,60 @@ def _aes_decrypt_block(block: bytes, round_keys: list) -> bytes:
     return bytes(s)
 
 
+def _aes_encrypt_block(block: bytes, round_keys: list) -> bytes:
+    """Forward cipher — needed reader-side only for the R6 key
+    derivation (Algorithm 2.B runs AES-128-CBC-ENCRYPT inside its
+    hash loop)."""
+    sbox, _ = _aes_tables()
+    nr = len(round_keys) - 1
+    s = [block[i] ^ round_keys[0][i] for i in range(16)]
+    for rnd in range(1, nr + 1):
+        s = [sbox[b] for b in s]
+        s = [s[(i + 4 * (i % 4)) % 16] for i in range(16)]  # ShiftRows
+        if rnd != nr:
+            t = []
+            for c in range(4):
+                a = s[4 * c:4 * c + 4]
+                t += [
+                    _xt(a[0]) ^ _xt(a[1]) ^ a[1] ^ a[2] ^ a[3],
+                    a[0] ^ _xt(a[1]) ^ _xt(a[2]) ^ a[2] ^ a[3],
+                    a[0] ^ a[1] ^ _xt(a[2]) ^ _xt(a[3]) ^ a[3],
+                    _xt(a[0]) ^ a[0] ^ a[1] ^ a[2] ^ _xt(a[3]),
+                ]
+            s = t
+        s = [s[i] ^ round_keys[rnd][i] for i in range(16)]
+    return bytes(s)
+
+
+def _aes_cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    rks = _aes_expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[i:i + 16], prev))
+        prev = _aes_encrypt_block(blk, rks)
+        out += prev
+    return bytes(out)
+
+
+def _r6_hash(pwd: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """PDF 2.0 Algorithm 2.B (the R6 KDF): SHA-256 seeded, then a
+    ≥64-round loop of AES-128-CBC over the repeated password/key
+    material with a data-dependent SHA-256/384/512 switch."""
+    import hashlib
+
+    K = hashlib.sha256(pwd + salt + udata).digest()
+    rnd = 0
+    while True:
+        k1 = (pwd + K + udata) * 64
+        e = _aes_cbc_encrypt_nopad(K[:16], K[16:32], k1)
+        K = (hashlib.sha256, hashlib.sha384,
+             hashlib.sha512)[sum(e[:16]) % 3](e).digest()
+        rnd += 1
+        if rnd >= 64 and e[-1] <= rnd - 32:
+            return K[:32]
+
+
 _AES_NP = None
 
 
@@ -295,23 +351,14 @@ def _aes_np_tables():
     return _AES_NP
 
 
-def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
-    """AESV2 payload: 16-byte IV || ciphertext; strips PKCS#5 pad.
-
-    CBC *decryption* is block-parallel (plain_i = D(C_i) ^ C_{i-1}),
-    so the whole payload decrypts as one numpy batch — fancy-indexed
-    InvSubBytes/InvMixColumns over an (n_blocks, 16) state runs ~3
-    orders of magnitude faster than a per-byte Python loop, which is
-    what makes megabyte content streams practical."""
+def _aes_blocks_decrypt(key: bytes, blocks):
+    """numpy batch ECB decrypt of an (n, 16) uint8 array."""
     import numpy as np
 
-    if len(data) < 32 or len(data) % 16:
-        return b""
     t = _aes_np_tables()
     rks = [np.array(rk, dtype=np.uint8) for rk in _aes_expand_key(key)]
     nr = len(rks) - 1
-    ct = np.frombuffer(data, dtype=np.uint8)
-    S = ct[16:].reshape(-1, 16) ^ rks[nr]
+    S = blocks ^ rks[nr]
     mul = t["mul"]
     for rnd in range(nr - 1, -1, -1):
         S = t["isbox"][S[:, t["isr"]]]
@@ -326,11 +373,42 @@ def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
                 T[:, 4 * c + 2] = mul[13][a] ^ mul[9][b] ^ mul[14][d] ^ mul[11][e]
                 T[:, 4 * c + 3] = mul[11][a] ^ mul[13][b] ^ mul[9][d] ^ mul[14][e]
             S = T
+    return S
+
+
+def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    """AESV2/AESV3 payload: 16-byte IV || ciphertext; strips PKCS#5
+    pad.
+
+    CBC *decryption* is block-parallel (plain_i = D(C_i) ^ C_{i-1}),
+    so the whole payload decrypts as one numpy batch — fancy-indexed
+    InvSubBytes/InvMixColumns over an (n_blocks, 16) state runs ~3
+    orders of magnitude faster than a per-byte Python loop, which is
+    what makes megabyte content streams practical."""
+    import numpy as np
+
+    if len(data) < 32 or len(data) % 16:
+        return b""
+    ct = np.frombuffer(data, dtype=np.uint8)
+    S = _aes_blocks_decrypt(key, ct[16:].reshape(-1, 16))
     out = bytes((S ^ ct[:-16].reshape(-1, 16)).tobytes())
     pad = out[-1] if out else 0
     if 1 <= pad <= 16:
         out = out[:-pad]
     return out
+
+
+def _aes_cbc_decrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Explicit-IV, no-padding CBC decrypt (the /UE and /OE wrapped
+    file keys use a zero IV and exactly two blocks)."""
+    import numpy as np
+
+    if not data or len(data) % 16:
+        return b""
+    ct = np.frombuffer(data, dtype=np.uint8)
+    S = _aes_blocks_decrypt(key, ct.reshape(-1, 16))
+    prev = np.frombuffer(iv + data[:-16], dtype=np.uint8).reshape(-1, 16)
+    return bytes((S ^ prev).tobytes())
 
 
 def _decrypt_strings(val, fn):
@@ -638,6 +716,8 @@ class PdfDocument:
                 f"pdf: unsupported security handler {enc.get('Filter')}")
         v = int(self.resolve(enc.get("V")) or 0)
         r = int(self.resolve(enc.get("R")) or 2)
+        if v == 5:
+            return self._setup_v5(enc, r)
         aes = False
         if v == 4:
             # crypt filters: the default /StdCF decides the method
@@ -668,7 +748,37 @@ class PdfDocument:
             raise ValueError("pdf: password protected")
         return {"key": key, "aes": aes}
 
+    def _setup_v5(self, enc: dict, r: int) -> dict:
+        """AES-256 (PDF 2.0 §7.6.4): /U = hash(32) ‖ validation
+        salt(8) ‖ key salt(8); the empty user password must reproduce
+        the hash (R6 = Algorithm 2.B KDF, deprecated R5 = plain
+        SHA-256), then /UE unwraps the 256-bit file key (AES-CBC,
+        zero IV, no padding).  All data uses the file key directly —
+        no per-object derivation at V5."""
+        import hashlib
+
+        if r not in (5, 6):
+            raise ValueError(f"pdf: unsupported encryption V=5 R={r}")
+        u = self.resolve(enc.get("U"))
+        ue = self.resolve(enc.get("UE"))
+        if not isinstance(u, bytes) or len(u) < 48 \
+                or not isinstance(ue, bytes) or len(ue) != 32:
+            raise ValueError("pdf: malformed /Encrypt U/UE")
+        vsalt, ksalt = u[32:40], u[40:48]
+        if r == 6:
+            if _r6_hash(b"", vsalt) != u[:32]:
+                raise ValueError("pdf: password protected")
+            ik = _r6_hash(b"", ksalt)
+        else:
+            if hashlib.sha256(vsalt).digest() != u[:32]:
+                raise ValueError("pdf: password protected")
+            ik = hashlib.sha256(ksalt).digest()
+        key = _aes_cbc_decrypt_raw(ik, b"\x00" * 16, ue)
+        return {"key": key, "aes": True, "v5": True}
+
     def _decrypt(self, data: bytes, num: int, gen: int) -> bytes:
+        if self._enc.get("v5"):
+            return _aes_cbc_decrypt(self._enc["key"], data)
         if self._enc.get("aes"):
             return _aes_cbc_decrypt(
                 _obj_key(self._enc["key"], num, gen, aes=True), data)

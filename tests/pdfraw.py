@@ -299,3 +299,61 @@ def aes_cbc_encrypt(key, data, iv=b"\x00" * 16):
         prev = _aes_encrypt_block(blk, rks)
         out += prev
     return bytes(out)
+
+
+def aes_cbc_encrypt_nopad(key, iv, data):
+    rks = _aes_keys(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[i:i + 16], prev))
+        prev = _aes_encrypt_block(blk, rks)
+        out += prev
+    return bytes(out)
+
+
+def algo2b(pwd: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """PDF 2.0 Algorithm 2.B (R6 KDF) — independent writer-side
+    implementation from the spec text."""
+    import hashlib
+
+    K = hashlib.sha256(pwd + salt + udata).digest()
+    rnd = 0
+    while True:
+        k1 = (pwd + K + udata) * 64
+        e = aes_cbc_encrypt_nopad(K[:16], K[16:32], k1)
+        K = (hashlib.sha256, hashlib.sha384,
+             hashlib.sha512)[sum(e[:16]) % 3](e).digest()
+        rnd += 1
+        if rnd >= 64 and e[-1] <= rnd - 32:
+            return K[:32]
+
+
+def encrypt_pdf_fixture_v5(text_ops: bytes, r: int = 6):
+    """AES-256 (V5) fixture: /U from the empty user password (R6 =
+    Algorithm 2.B, R5 = plain SHA-256), file key wrapped into /UE,
+    content stream AES-256-CBC with IV prefix + PKCS#5 pad."""
+    import hashlib
+
+    file_key = bytes(range(32))
+    vsalt = b"VSALTvs8"
+    ksalt = b"KSALTks8"
+    if r == 6:
+        uhash = algo2b(b"", vsalt)
+        ik = algo2b(b"", ksalt)
+    else:
+        uhash = hashlib.sha256(vsalt).digest()
+        ik = hashlib.sha256(ksalt).digest()
+    u = uhash + vsalt + ksalt
+    ue = aes_cbc_encrypt_nopad(ik, b"\x00" * 16, file_key)
+    enc_cs = aes_cbc_encrypt(file_key, text_ops, iv=bytes(range(16)))
+    objs = simple_doc_objects(enc_cs)
+    objs[5] = (b"<< /Filter /Standard /V 5 /R %d /Length 256 "
+               b"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+               b"/StmF /StdCF /StrF /StdCF /P -44 "
+               b"/U <%s> /UE <%s> /O <%s> /OE <%s> >>"
+               % (r, u.hex().encode(), ue.hex().encode(),
+                  (b"\x00" * 48).hex().encode(),
+                  (b"\x00" * 32).hex().encode()))
+    trailer = b"<< /Size 7 /Root 1 0 R /Encrypt 5 0 R >>"
+    return build_classic(objs, trailer), file_key

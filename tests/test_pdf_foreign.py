@@ -274,10 +274,38 @@ def test_password_protected_and_unsupported_quarantine():
     bad_u = data.replace(b"/U <", b"/U <ff", 1)  # corrupt U = wrong pwd
     with pytest.raises(ValueError, match="password"):
         PdfDocument(bad_u)
-    v5 = data.replace(b"/V 2 /R 3", b"/V 5 /R 6", 1)
+    v6 = data.replace(b"/V 2 /R 3", b"/V 6 /R 7", 1)  # future version
     with pytest.raises(ValueError, match="unsupported"):
+        PdfDocument(v6)
+    # a V5 shell carrying R2-shaped (32-byte) U is malformed, not
+    # silently mis-decoded
+    v5 = data.replace(b"/V 2 /R 3", b"/V 5 /R 6", 1)
+    with pytest.raises(ValueError, match="malformed"):
         PdfDocument(v5)
     aes_bad = encrypt_pdf_fixture(b"BT (x) Tj ET", method="aes")[0]
     aes_bad = aes_bad.replace(b"/CFM /AESV2", b"/CFM /AESV3", 1)
     with pytest.raises(ValueError, match="unsupported"):
         PdfDocument(aes_bad)
+
+
+def test_aes256_v5_encrypted_decodes():
+    """AES-256 (V5): deprecated R5 (plain SHA-256 check) and PDF 2.0
+    R6 (Algorithm 2.B KDF — SHA-256/384/512 switch over an
+    AES-128-CBC hash loop) both unwrap the file key from /UE with the
+    empty user password and decode the AESV3 content stream."""
+    from pdfraw import encrypt_pdf_fixture_v5
+
+    for r in (5, 6):
+        data, _ = encrypt_pdf_fixture_v5(
+            b"BT (aes256 secured r%d) Tj ET" % r, r=r)
+        assert extract_pdf_text(data) == f"aes256 secured r{r}", r
+
+
+def test_aes256_wrong_password_quarantines():
+    from pdfraw import encrypt_pdf_fixture_v5
+    import pytest
+
+    data, _ = encrypt_pdf_fixture_v5(b"BT (x) Tj ET", r=6)
+    bad = data.replace(b"/U <", b"/U <ff", 1)
+    with pytest.raises(ValueError, match="password"):
+        PdfDocument(bad)
