@@ -158,10 +158,90 @@ def _line_ops(lines: list[str], mode: str) -> bytes:
     return b"\n".join(ops)
 
 
+# -- writer-side standard security handler (V2 R3 RC4, empty pwds) ----
+
+_ENC_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E,
+    0x56, 0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68,
+    0x3E, 0x80, 0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+_ENC_ID0 = bytes(range(0x10, 0x20))  # deterministic file ID
+_ENC_P = -44
+
+
+def _wrc4(key: bytes, data: bytes) -> bytes:
+    S = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + S[i] + key[i % len(key)]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray()
+    i = j = 0
+    for b in data:
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out.append(b ^ S[(S[i] + S[j]) & 0xFF])
+    return bytes(out)
+
+
+def _enc_setup(length: int = 128):
+    """Algorithms 3/2/5 (PDF 32000 §7.6.3) for EMPTY owner and user
+    passwords: returns (file_key, /Encrypt dict bytes).  Deterministic
+    — fixture bytes stay a pure function of content."""
+    import hashlib
+    import struct
+
+    n = length // 8
+    h = hashlib.md5(_ENC_PAD).digest()
+    for _ in range(50):
+        h = hashlib.md5(h).digest()
+    okey = h[:n]
+    o = _wrc4(okey, _ENC_PAD)
+    for i in range(1, 20):
+        o = _wrc4(bytes(b ^ i for b in okey), o)
+    h = hashlib.md5(
+        _ENC_PAD + o + struct.pack("<I", _ENC_P & 0xFFFFFFFF) + _ENC_ID0
+    ).digest()
+    for _ in range(50):
+        h = hashlib.md5(h[:n]).digest()
+    key = h[:n]
+    u = _wrc4(key, hashlib.md5(_ENC_PAD + _ENC_ID0).digest())
+    for i in range(1, 20):
+        u = _wrc4(bytes(b ^ i for b in key), u)
+    u += b"\x00" * 16
+    enc_dict = (b"<< /Filter /Standard /V 2 /R 3 /Length %d "
+                b"/O <%s> /U <%s> /P %d >>"
+                % (length, o.hex().encode(), u.hex().encode(), _ENC_P))
+    return key, enc_dict
+
+
+def _enc_objkey(file_key: bytes, num: int) -> bytes:
+    import hashlib
+
+    h = hashlib.md5(
+        file_key + num.to_bytes(3, "little") + (0).to_bytes(2, "little")
+    ).digest()
+    return h[: min(len(file_key) + 5, 16)]
+
+
+def _esc_bytes(raw: bytes) -> bytes:
+    out = bytearray()
+    for b in raw:
+        if b in (0x5C, 0x28, 0x29):
+            out += b"\\" + bytes([b])
+        elif b < 32:
+            out += b"\\%03o" % b
+        else:
+            out.append(b)
+    return bytes(out)
+
+
 def build_pdf(pages: list[list[str]], *, mode: str = "tj",
               flate: bool = False, xref_stream: bool = False,
               stream_filter: str | None = None,
-              info: dict | None = None) -> bytes:
+              info: dict | None = None,
+              encrypt: str | None = None) -> bytes:
     """Serialize a complete PDF showing ``pages`` (lists of text lines).
 
     ``xref_stream=True`` emits a PDF 1.5 file: the dict objects live in
@@ -174,6 +254,11 @@ def build_pdf(pages: list[list[str]], *, mode: str = "tj",
     """
     if stream_filter is None and flate:
         stream_filter = "flate"
+    file_key = enc_dict_body = None
+    if encrypt:
+        if encrypt != "rc4":
+            raise ValueError("pdfgen: only rc4 encryption is implemented")
+        file_key, enc_dict_body = _enc_setup()
 
     def enc_stream(body: bytes) -> tuple[bytes, bytes]:
         if stream_filter == "flate":
@@ -222,9 +307,20 @@ def build_pdf(pages: list[list[str]], *, mode: str = "tj",
         streams[tounicode_num] = enc_stream(_cmap_stream(codes, two_byte))
     info_num = tounicode_num + (1 if cmap_mode else 0)
     if info:
+        # classic-mode strings are encrypted per object; inside an
+        # ObjStm (xref_stream mode) strings stay plain — only the
+        # container stream is encrypted (PDF 32000 §7.5.7)
+        enc_strings = bool(encrypt) and not xref_stream
         body = b"<<"
         for k, v in sorted(info.items()):
-            body += b" /" + k.encode("ascii") + b" (" + _esc_lit(str(v)) + b")"
+            if enc_strings:
+                raw = _wrc4(_enc_objkey(file_key, info_num),
+                            _encode(str(v)))
+                body += (b" /" + k.encode("ascii")
+                         + b" (" + _esc_bytes(raw) + b")")
+            else:
+                body += (b" /" + k.encode("ascii")
+                         + b" (" + _esc_lit(str(v)) + b")")
         dict_objs[info_num] = body + b" >>"
 
     out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n" if xref_stream
@@ -242,7 +338,17 @@ def build_pdf(pages: list[list[str]], *, mode: str = "tj",
         for num in sorted(dict_objs):
             emit(num, dict_objs[num])
         for num in sorted(streams):
-            emit_stream(num, *streams[num])
+            d, body = streams[num]
+            if encrypt:  # encrypt AFTER filtering (reader undoes first)
+                body = _wrc4(_enc_objkey(file_key, num), body)
+            emit_stream(num, d, body)
+        enc_ref = b""
+        if encrypt:
+            enc_num = max(offsets) + 1
+            emit(enc_num, enc_dict_body)
+            enc_ref = (b" /Encrypt %d 0 R /ID [<%s> <%s>]"
+                       % (enc_num, _ENC_ID0.hex().encode(),
+                          _ENC_ID0.hex().encode()))
         max_num = max(offsets) + 1
         xref_off = len(out)
         out.extend(b"xref\n0 %d\n" % max_num)
@@ -251,13 +357,16 @@ def build_pdf(pages: list[list[str]], *, mode: str = "tj",
             out.extend(b"%010d 00000 n \n" % offsets[num])
         info_ref = b" /Info %d 0 R" % info_num if info else b""
         out.extend(
-            b"trailer\n<< /Size %d /Root 1 0 R%s >>\nstartxref\n%d\n%%%%EOF\n"
-            % (max_num, info_ref, xref_off))
+            b"trailer\n<< /Size %d /Root 1 0 R%s%s >>\nstartxref\n%d\n%%%%EOF\n"
+            % (max_num, info_ref, enc_ref, xref_off))
         return bytes(out)
 
     # -- PDF 1.5: object stream + cross-reference stream ---------------
     for num in sorted(streams):
-        emit_stream(num, *streams[num])
+        d, body = streams[num]
+        if encrypt:
+            body = _wrc4(_enc_objkey(file_key, num), body)
+        emit_stream(num, d, body)
     stm_nums = sorted(dict_objs)  # objects packed into the ObjStm
     header = bytearray()
     bodies = bytearray()
@@ -265,13 +374,20 @@ def build_pdf(pages: list[list[str]], *, mode: str = "tj",
         header += b"%d %d " % (num, len(bodies))
         bodies += dict_objs[num] + b"\n"
     objstm_num = max(max(streams), max(dict_objs)) + 1
-    xref_num = objstm_num + 1
+    # the /Encrypt dict may not live in an object stream (§7.5.7), so
+    # it gets its own uncompressed object between ObjStm and XRef
+    enc_num = objstm_num + 1 if encrypt else None
+    xref_num = objstm_num + (2 if encrypt else 1)
     objstm_body = zlib.compress(bytes(header) + bytes(bodies))
+    if encrypt:  # the ObjStm container is a stream like any other
+        objstm_body = _wrc4(_enc_objkey(file_key, objstm_num), objstm_body)
     emit_stream(
         objstm_num,
         b"<< /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode >>"
         % (len(stm_nums), len(header), len(objstm_body)),
         objstm_body)
+    if encrypt:
+        emit(enc_num, enc_dict_body)
     # xref rows: W=[1,4,2] (type, offset/objstm, gen/index)
     size = xref_num + 1
     xref_off = len(out)
@@ -292,9 +408,12 @@ def build_pdf(pages: list[list[str]], *, mode: str = "tj",
         predicted += b"\x00" + rows[r:r + rowlen]
     xref_body = zlib.compress(bytes(predicted))
     info_ref = b" /Info %d 0 R" % info_num if info else b""
+    enc_ref = (b" /Encrypt %d 0 R /ID [<%s> <%s>]"
+               % (enc_num, _ENC_ID0.hex().encode(),
+                  _ENC_ID0.hex().encode())) if encrypt else b""
     xref_dict = (
         b"<< /Type /XRef /Size %d /Root 1 0 R" % size
-        + info_ref
+        + info_ref + enc_ref
         + b" /W [1 4 2] /Index [0 %d] /Filter /FlateDecode "
           b"/DecodeParms << /Predictor 12 /Columns 7 >> /Length %d >>"
         % (size, len(xref_body))
@@ -355,6 +474,11 @@ def build_doc(i: int, grammar: bool = False) -> bytes:
         xref_stream=(i % 3 == 0),
         info={"Title": f"Paper {i}: safety interventions",
               "Author": f"Author {i % 5} (lab'{i})"},
+        # every 5th doc is RC4-encrypted (empty user password), so the
+        # s1_pdf_docs ORACLE — not just pytest — grades the decryption
+        # path: key derivation, per-object keys, stream + /Info string
+        # decryption, across both xref layouts
+        encrypt="rc4" if i % 5 == 2 else None,
     )
 
 
