@@ -93,6 +93,35 @@ def stage_a_reassemble(cat: Catalog, transcripts: DataFrame, cfg: PipelineConfig
     return cat.read("documents")
 
 
+def normalize_preassembled(docs: DataFrame) -> DataFrame:
+    """Pre-assembled documents (PDF decode, ARD articles, any external
+    feed) → the DOCUMENTS table shape plus a ``__reason`` column: the
+    classified per-row quarantine reason (e.g. the PDF decoder's
+    encrypted_pdf vs undecodable_document) when the source provides
+    one.  Shared by batch stage A and the streaming per-batch bodies
+    so both paths land byte-identical rows."""
+    if "n_turns" not in docs.columns:
+        docs = docs.withColumn("n_turns", F.lit(1))
+    for prov in ("title", "author"):  # provenance optional per source
+        if prov not in docs.columns:
+            docs = docs.withColumn(prov, F.lit(None).cast("string"))
+    reason = (F.coalesce(F.col("quarantine_reason"),
+                         F.lit("undecodable_document"))
+              if "quarantine_reason" in docs.columns
+              else F.lit("undecodable_document"))
+    return docs.select(
+        "conv_id",
+        F.coalesce(F.col("n_turns"), F.lit(1)).cast("int").alias("n_turns"),
+        "doc_text",
+        F.lit(None).cast("array<string>").alias("roles"),
+        F.lit(None).cast("timestamp").alias("ts_min"),
+        F.lit(None).cast("timestamp").alias("ts_max"),
+        F.col("title").cast("string").alias("title"),
+        F.col("author").cast("string").alias("author"),
+        reason.alias("__reason"),
+    )
+
+
 def stage_a_ingest_documents(
     cat: Catalog, docs: DataFrame, cfg: PipelineConfig
 ) -> DataFrame:
@@ -107,28 +136,7 @@ def stage_a_ingest_documents(
     t0 = time.time()
     if cfg.resume:
         ckpt.reconcile(cat, ["documents", "quarantine"])
-    if "n_turns" not in docs.columns:
-        docs = docs.withColumn("n_turns", F.lit(1))
-    for prov in ("title", "author"):  # provenance optional per source
-        if prov not in docs.columns:
-            docs = docs.withColumn(prov, F.lit(None).cast("string"))
-    # classified per-row quarantine reason (e.g. the PDF decoder's
-    # encrypted_pdf vs undecodable_document) — optional per source
-    reason = (F.coalesce(F.col("quarantine_reason"),
-                         F.lit("undecodable_document"))
-              if "quarantine_reason" in docs.columns
-              else F.lit("undecodable_document"))
-    docs = docs.select(
-        "conv_id",
-        F.coalesce(F.col("n_turns"), F.lit(1)).cast("int").alias("n_turns"),
-        "doc_text",
-        F.lit(None).cast("array<string>").alias("roles"),
-        F.lit(None).cast("timestamp").alias("ts_min"),
-        F.lit(None).cast("timestamp").alias("ts_max"),
-        F.col("title").cast("string").alias("title"),
-        F.col("author").cast("string").alias("author"),
-        reason.alias("__reason"),
-    )
+    docs = normalize_preassembled(docs)
     pending = ckpt.pending(cat, "A_reassemble", docs) if cfg.resume else docs
     # a failed decode yields null text; a structurally-valid file with
     # no extractable text yields "" — both are undecodable for a text
@@ -478,6 +486,12 @@ def run_pipeline_pdfs(
         F.col("decode_error").alias("quarantine_reason"),
     )
     stage_a_ingest_documents(cat, docs, cfg)
+    return _run_bcd_and_stats(cat, cfg, t0)
+
+
+def _run_bcd_and_stats(cat: Catalog, cfg: PipelineConfig, t0: float) -> dict:
+    """Shared tail of every batch runner: stages B-D, bookkeeping
+    compaction, cache release, run stats."""
     stage_b_extract(cat, cfg)
     stage_c_canonicalize(cat, cfg)
     stage_d_materialize(cat, cfg)
@@ -494,6 +508,26 @@ def run_pipeline_pdfs(
         "n_kg_nodes": cat.read("kg_nodes").count(),
         "n_kg_edges": cat.read("kg_edges").count(),
     }
+
+
+def run_pipeline_ard(
+    spark: SparkSession, path: str, warehouse: str, **kwargs,
+) -> dict:
+    """ARD article corpus end-to-end (the reference's D2 document
+    model, data/raw/ard_examples/*.jsonl): JSONL/gzip articles →
+    ``ard_as_documents`` (doc id = url, text = title+abstract+text,
+    title/authors provenance) → stages B-D.  Resume semantics are the
+    pre-assembled path's (re-running skips already-ingested ids)."""
+    from ..sources.ard import ard_as_documents, read_ard
+
+    cfg = PipelineConfig(warehouse=warehouse, **kwargs)
+    cat = make_catalog(spark, warehouse, backend=cfg.catalog_backend)
+    t0 = time.time()
+    docs = ard_as_documents(read_ard(spark, path)).filter(
+        F.col("conv_id").isNotNull()  # no url AND no title: unkeyable
+    )
+    stage_a_ingest_documents(cat, docs, cfg)
+    return _run_bcd_and_stats(cat, cfg, t0)
 
 
 def run_pipeline_streaming(
@@ -577,12 +611,50 @@ def run_pipeline_pdfs_streaming(
     }
 
 
+def run_pipeline_ard_streaming(
+    spark: SparkSession, path: str, warehouse: str,
+    cd_every: int | None = None, **kwargs,
+) -> dict:
+    """Streaming twin of :func:`run_pipeline_ard`: JSONL article files
+    arriving in ``path`` drain as an exactly-once AvailableNow stream
+    with the cd_every in-stream C+D convergence contract."""
+    import os
+
+    from ..streaming.catalog_sink import stream_ard_pipeline_to_catalog
+
+    cfg = PipelineConfig(warehouse=warehouse, **kwargs)
+    cat = make_catalog(spark, warehouse, backend=cfg.catalog_backend)
+    t0 = time.time()
+    state = stream_ard_pipeline_to_catalog(
+        spark, path, cat,
+        checkpoint_path=os.path.join(warehouse, "_stream_ckpt"),
+        extract_engine=cfg.extract_engine,
+        cd_every=cd_every, cd_cfg=cfg,
+    )
+    if not state.get("cd_on_last"):
+        stage_c_canonicalize(cat, cfg)
+        stage_d_materialize(cat, cfg)
+    caching.release_caches()
+    wall = time.time() - t0
+    n_triples = cat.read("triples_raw").count()
+    return {
+        "wall_s": wall,
+        "n_triples": n_triples,
+        "triples_per_sec": n_triples / wall,
+        "n_kg_nodes": cat.read("kg_nodes").count(),
+        "n_kg_edges": cat.read("kg_edges").count(),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--transcripts", help="parquet path of transcripts")
     ap.add_argument("--pdf-dir", help="directory of PDF documents "
                     "(the reference's input format) — alternative to "
                     "--transcripts")
+    ap.add_argument("--ard", help="ARD article corpus (JSONL/gzip path "
+                    "or directory — the reference's D2 document model) "
+                    "— alternative to --transcripts")
     ap.add_argument("--warehouse", required=True)
     ap.add_argument("--engine", default="arrow")
     ap.add_argument("--cpus", type=int, default=None)
@@ -598,10 +670,19 @@ def main() -> None:
                          "idempotent Cypher MERGE script (nodes/ then "
                          "edges/ text parts) for FalkorDB/Neo4j loading")
     args = ap.parse_args()
-    if not args.transcripts and not args.pdf_dir:
-        ap.error("one of --transcripts or --pdf-dir is required")
+    if not args.transcripts and not args.pdf_dir and not args.ard:
+        ap.error("one of --transcripts, --pdf-dir or --ard is required")
     spark = get_spark("kg-pipeline", cpus=args.cpus)
-    if args.pdf_dir and args.stream:
+    if args.ard and args.stream:
+        stats = run_pipeline_ard_streaming(
+            spark, args.ard, args.warehouse,
+            cd_every=args.cd_every, extract_engine=args.engine
+        )
+    elif args.ard:
+        stats = run_pipeline_ard(
+            spark, args.ard, args.warehouse, extract_engine=args.engine
+        )
+    elif args.pdf_dir and args.stream:
         stats = run_pipeline_pdfs_streaming(
             spark, args.pdf_dir, args.warehouse,
             cd_every=args.cd_every, extract_engine=args.engine

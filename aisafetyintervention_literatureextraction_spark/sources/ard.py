@@ -10,7 +10,7 @@ pre-scan), gzip transparent (S4: the reference's iter_jsonl handles
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
@@ -33,6 +33,13 @@ def read_ard(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def _non_blank(col: Column) -> Column:
+    """NULL when the string holds no non-whitespace character."""
+    return F.when(
+        F.length(F.regexp_replace(col, r"\s", "")) > 0, col
+    )
+
+
 def ard_as_documents(ard: DataFrame) -> DataFrame:
     """Map the ARD article shape onto the engine's document abstraction
     (D1/D2 unification, SURVEY.md §1.1): doc id = url (the stable key),
@@ -40,12 +47,16 @@ def ard_as_documents(ard: DataFrame) -> DataFrame:
     return ard.select(
         F.coalesce(F.col("url"), F.col("title")).alias("conv_id"),
         F.lit(1).alias("n_turns"),
-        F.concat_ws(
+        # an all-empty article must read as NO text (null → quarantine
+        # as undecodable), not as the two joiner newlines — note
+        # Spark's trim strips only spaces, so test whitespace-only
+        # explicitly
+        _non_blank(F.concat_ws(
             "\n",
             F.coalesce(F.col("title"), F.lit("")),
             F.coalesce(F.col("abstract"), F.lit("")),
             F.coalesce(F.col("text"), F.lit("")),
-        ).alias("doc_text"),
+        )).alias("doc_text"),
         F.array(F.lit("article")).alias("roles"),
         F.col("date_published").alias("ts_min"),
         F.col("date_published").alias("ts_max"),

@@ -254,37 +254,15 @@ def stream_pipeline_to_catalog(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     src = reader.parquet(source_path)
-    state = {"n_batches": 0, "cd_on_last": False}
 
-    def process(batch_df: DataFrame, batch_id: int) -> None:
+    def body(batch_df: DataFrame, batch_id: int) -> None:
         _process_ab_batch(
             spark, catalog, batch_df, batch_id, stream_id,
             extract_engine=extract_engine, salt_segment=salt_segment,
         )
-        state["n_batches"] += 1
-        state["cd_on_last"] = False
-        if cd_every and state["n_batches"] % cd_every == 0:
-            from ..functions import caching
-            from ..plans.pipeline import (
-                PipelineConfig,
-                stage_c_canonicalize,
-                stage_d_materialize,
-            )
 
-            cfg = cd_cfg or PipelineConfig(warehouse="")
-            stage_c_canonicalize(catalog, cfg)
-            stage_d_materialize(catalog, cfg)
-            caching.release_caches()
-            state["cd_on_last"] = True
-
-    q = (
-        src.writeStream.foreachBatch(process)
-        .option("checkpointLocation", checkpoint_path)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return state
+    return _drain_ab_stream(src, body, catalog, checkpoint_path,
+                            cd_every, cd_cfg)
 
 
 # streaming binaryFile source schema (Spark's binaryFile reader shape —
@@ -313,6 +291,33 @@ def _process_pdf_batch(
     from ..operators.pdf import decode_pdf_text
     from ..sources.raw_files import file_stem
 
+    decoded = decode_pdf_text(
+        batch_df.select(file_stem(F.col("path")).alias("doc_id"), "content")
+    ).select(
+        "conv_id", F.col("n_pages").alias("n_turns"), "doc_text",
+        "title", "author",
+        F.col("decode_error").alias("quarantine_reason"),
+    )
+    return _process_preassembled_batch(
+        catalog, decoded, batch_id, stream_id, extract_engine)
+
+
+def _process_preassembled_batch(
+    catalog,
+    docs: DataFrame,
+    batch_id: int,
+    stream_id: str,
+    extract_engine: str = "arrow",
+) -> str:
+    """Exactly-once micro-batch for any PRE-ASSEMBLED document source
+    (PDF decode, ARD articles): normalize to the DOCUMENTS shape via
+    the same helper batch stage A uses (byte-identical rows between
+    stream and batch), split usable vs quarantine with the source's
+    classified reason, commit atomically."""
+    from pyspark.sql import functions as F
+
+    from ..plans.pipeline import normalize_preassembled
+
     run_id = f"{stream_id}-b{batch_id}"
     committed = ckpt.committed_run_ids(catalog)
     if run_id in committed:
@@ -321,26 +326,11 @@ def _process_pdf_batch(
         catalog.prune_orphan_runs(t, committed)
     ckpt.reconcile_versions(catalog, ["edges_agg"])
 
-    decoded = decode_pdf_text(
-        batch_df.select(file_stem(F.col("path")).alias("doc_id"), "content")
-    )
-    docs = decoded.select(
-        "conv_id",
-        F.coalesce(F.col("n_pages"), F.lit(1)).cast("int").alias("n_turns"),
-        "doc_text",
-        F.lit(None).cast("array<string>").alias("roles"),
-        F.lit(None).cast("timestamp").alias("ts_min"),
-        F.lit(None).cast("timestamp").alias("ts_max"),
-        "title",
-        "author",
-        "decode_error",
-    )
+    norm = normalize_preassembled(docs)
     usable = F.col("doc_text").isNotNull() & (F.length("doc_text") > 0)
-    good = docs.filter(usable).drop("decode_error")
-    bad = docs.filter(~usable | F.col("doc_text").isNull()).select(
-        "conv_id",
-        F.coalesce(F.col("decode_error"),
-                   F.lit("undecodable_document")).alias("reason"),
+    good = norm.filter(usable).drop("__reason")
+    bad = norm.filter(~usable | F.col("doc_text").isNull()).select(
+        "conv_id", F.col("__reason").alias("reason")
     )
     return _commit_ab_docs(
         catalog, good, bad, run_id, extract_engine=extract_engine
@@ -377,13 +367,26 @@ def stream_pdf_pipeline_to_catalog(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     src = reader.load(pdf_dir)
-    state = {"n_batches": 0, "cd_on_last": False}
 
-    def process(batch_df: DataFrame, batch_id: int) -> None:
+    def body(batch_df: DataFrame, batch_id: int) -> None:
         _process_pdf_batch(
             catalog, batch_df, batch_id, stream_id,
             extract_engine=extract_engine,
         )
+
+    return _drain_ab_stream(src, body, catalog, checkpoint_path,
+                            cd_every, cd_cfg)
+
+
+def _drain_ab_stream(src, body, catalog, checkpoint_path: str,
+                     cd_every: int | None, cd_cfg) -> dict:
+    """Shared AvailableNow scaffold for every A+B stream: run ``body``
+    per micro-batch, fire the in-stream C+D trigger after every
+    ``cd_every``-th commit, report batch/trigger state."""
+    state = {"n_batches": 0, "cd_on_last": False}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        body(batch_df, batch_id)
         state["n_batches"] += 1
         state["cd_on_last"] = False
         if cd_every and state["n_batches"] % cd_every == 0:
@@ -408,3 +411,43 @@ def stream_pdf_pipeline_to_catalog(
     )
     q.awaitTermination()
     return state
+
+
+def stream_ard_pipeline_to_catalog(
+    spark: SparkSession,
+    path: str,
+    catalog,
+    checkpoint_path: str | None = None,
+    stream_id: str = "ard",
+    extract_engine: str = "arrow",
+    cd_every: int | None = None,
+    cd_cfg=None,
+    max_files_per_trigger: int | None = None,
+) -> dict:
+    """Streaming ingest over an ARD article feed (JSONL/gzip files
+    arriving in ``path`` — the reference's D2 corpus shape): each
+    micro-batch maps articles through ``ard_as_documents`` and commits
+    under the same exactly-once contract as the PDF/transcript
+    streams, with the cd_every in-stream C+D trigger.  Articles are
+    whole rows, so nothing straddles batches."""
+    from pyspark.sql import functions as F
+
+    from ..sources.ard import ARD_SCHEMA, ard_as_documents
+
+    _require_checkpoint(checkpoint_path)
+    reader = spark.readStream.schema(ARD_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.json(path).withColumn(
+        "date_published", F.to_timestamp(F.col("date_published"))
+    )
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        docs = ard_as_documents(batch_df).filter(
+            F.col("conv_id").isNotNull()
+        )
+        _process_preassembled_batch(
+            catalog, docs, batch_id, stream_id, extract_engine)
+
+    return _drain_ab_stream(src, body, catalog, checkpoint_path,
+                            cd_every, cd_cfg)

@@ -467,3 +467,102 @@ def test_stream_pdf_pipeline_cd_in_stream(spark, tmp_path):
     )
     assert cat_s.read("triples_raw").count() == n_triples
     assert rows(cat_s, "kg_edges") == rows(cat_b, "kg_edges")
+
+
+def test_ard_pipeline_batch_and_stream(spark, tmp_path):
+    """ARD as a first-class pipeline input (r5): a JSONL article
+    corpus runs batch (`run_pipeline_ard`) and streaming
+    (`--ard --stream` path) to byte-equal warehouses — provenance
+    included — with an all-empty article quarantining and an offset
+    replay changing nothing."""
+    import gzip
+    import json as _json
+
+    from aisafetyintervention_literatureextraction_spark.catalog import Catalog
+    from aisafetyintervention_literatureextraction_spark.pdfgen import (
+        expected_text,
+    )
+    from aisafetyintervention_literatureextraction_spark.plans.pipeline import (
+        PipelineConfig,
+        run_pipeline_ard,
+    )
+    from aisafetyintervention_literatureextraction_spark.streaming.catalog_sink import (
+        stream_ard_pipeline_to_catalog,
+    )
+
+    n_docs = 12
+    src = tmp_path / "ard"
+    src.mkdir()
+    # several files so the stream is genuinely multi-batch; one gzip
+    # member proves codec transparency on the batch reader
+    for part in range(4):
+        rows = []
+        for i in range(part * 3, part * 3 + 3):
+            rows.append({
+                "title": f"Article {i}",
+                "authors": [f"A{i}", f"B{i % 2}"],
+                "date_published": "2024-05-01T00:00:00Z",
+                "text": expected_text(i, grammar=True),
+                "abstract": f"abstract {i}",
+                "url": f"https://ard.example/{i}",
+            })
+        body = "\n".join(_json.dumps(r) for r in rows) + "\n"
+        if part == 3:
+            with gzip.open(src / f"part{part}.jsonl.gz", "wt") as f:
+                f.write(body)
+        else:
+            (src / f"part{part}.jsonl").write_text(body)
+    # an unkeyable row (no url, no title) and an all-empty article
+    (src / "edge.jsonl").write_text(
+        _json.dumps({"title": None, "authors": [], "date_published": None,
+                     "text": "ignored", "abstract": None, "url": None})
+        + "\n"
+        + _json.dumps({"title": "", "authors": [],
+                       "date_published": None, "text": "",
+                       "abstract": "", "url": "https://ard.example/empty"})
+        + "\n")
+
+    stats_b = run_pipeline_ard(spark, str(src), str(tmp_path / "wh_b"))
+    assert stats_b["n_triples"] == n_docs  # one grammar edge per doc
+    cat_b = Catalog(spark, str(tmp_path / "wh_b"))
+    q = {r.conv_id: r.reason for r in cat_b.read("quarantine").collect()}
+    assert q == {"https://ard.example/empty": "undecodable_document"}
+    docs = {r.conv_id: (r.title, r.author)
+            for r in cat_b.read("documents").collect()}
+    assert docs["https://ard.example/3"] == ("Article 3", "A3, B1")
+    titles = {t for r in cat_b.read("kg_nodes").collect()
+              for t in r.source_titles}
+    assert titles == {f"Article {i}" for i in range(n_docs)}
+
+    # streaming twin: byte-equal warehouse, replay no-op
+    wh_s = str(tmp_path / "wh_s")
+    cat_s = Catalog(spark, wh_s)
+    cfg_s = PipelineConfig(warehouse=wh_s)
+    state = stream_ard_pipeline_to_catalog(
+        spark, str(src), cat_s, checkpoint_path=str(tmp_path / "ck1"),
+        cd_every=2, cd_cfg=cfg_s, max_files_per_trigger=2,
+    )
+    assert state["n_batches"] >= 2
+    from aisafetyintervention_literatureextraction_spark.plans.pipeline import (
+        stage_c_canonicalize,
+        stage_d_materialize,
+    )
+    if not state["cd_on_last"]:
+        stage_c_canonicalize(cat_s, cfg_s)
+        stage_d_materialize(cat_s, cfg_s)
+
+    def rows(cat, table):
+        dfr = cat.read(table)
+        cols = sorted(dfr.columns)
+        return sorted(
+            (tuple(repr(r[c]) for c in cols) for r in dfr.collect()), key=repr
+        )
+
+    for t in ["documents", "quarantine", "kg_nodes", "kg_edges"]:
+        assert rows(cat_s, t) == rows(cat_b, t), t
+    n_triples = cat_s.read("triples_raw").count()
+    stream_ard_pipeline_to_catalog(
+        spark, str(src), cat_s, checkpoint_path=str(tmp_path / "ck2"),
+        cd_every=2, cd_cfg=cfg_s, max_files_per_trigger=2,
+    )
+    assert cat_s.read("triples_raw").count() == n_triples
