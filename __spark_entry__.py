@@ -732,6 +732,71 @@ def _ensure_raw_fixture() -> str:
     return str(d)
 
 
+_ARD_FIXTURE = "/tmp/kg_ard_fixture_v1"
+
+
+def _ensure_ard_fixture() -> str:
+    """Deterministic ARD JSONL corpus (the reference's D2 article
+    shape, arxiv.jsonl.example.json) shared by the Spark reader and
+    the DuckDB oracle — includes a gzip member, a null-abstract
+    article, an url-less article (conv id falls back to title), and a
+    whitespace-only article (must read as NO text)."""
+    import gzip
+    import json
+    import pathlib
+
+    d = pathlib.Path(_ARD_FIXTURE)
+    d.mkdir(parents=True, exist_ok=True)
+
+    def rows(lo, hi):
+        out = []
+        for i in range(lo, hi):
+            out.append({
+                "title": f"ARD article {i}",
+                "authors": [f"Author {j}" for j in range(i % 3)] or None,
+                "date_published": f"2024-0{i % 9 + 1}-01T00:00:00Z",
+                "text": f"body text {i} " * (i % 4 + 1),
+                "abstract": None if i % 5 == 0 else f"abstract {i}",
+                "url": None if i % 7 == 3 else f"https://ard.example/{i}",
+            })
+        return out
+
+    plain = d / "part0.jsonl"
+    body = "\n".join(json.dumps(r) for r in rows(0, 12)) + "\n" + \
+        json.dumps({"title": " \t ", "authors": [], "date_published": None,
+                    "text": "  ", "abstract": "\n", "url": "https://ard.example/blank"}) + "\n"
+    if not plain.exists() or plain.read_text() != body:
+        plain.write_text(body)
+    gz = d / "part1.jsonl.gz"
+    gz_body = "\n".join(json.dumps(r) for r in rows(12, 20)) + "\n"
+    want = gzip.compress(gz_body.encode(), mtime=0)
+    if not gz.exists() or gz.read_bytes() != want:
+        gz.write_bytes(want)
+    return str(d)
+
+
+def q_s6_ard_docs(spark, sf_dir):
+    """S6 ARD corpus source (sources/ard.py): JSONL/gzip articles →
+    the document abstraction — doc id = url (falling back to title),
+    doc_text = title+abstract+text with the whitespace-only-is-null
+    rule, authors joined as provenance. Oracle: DuckDB read_json over
+    the same files with the identical expressions."""
+    from aisafetyintervention_literatureextraction_spark.sources.ard import (
+        ard_as_documents,
+        read_ard,
+    )
+
+    d = _ensure_ard_fixture()
+    docs = ard_as_documents(read_ard(spark, d))
+    return docs.select(
+        "conv_id",
+        "doc_text",
+        F.length("doc_text").cast("int").alias("n_chars"),
+        "title",
+        "author",
+    )
+
+
 _PDF_FIXTURE = "/tmp/kg_pdf_fixture_v1"
 
 
@@ -830,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mention_spans": q_kg_mention_spans,
         "kg_node_provenance": q_kg_node_provenance,
         "s1_raw_files": q_s1_raw_files,
+        "s6_ard_docs": q_s6_ard_docs,
         "s1_pdf_docs": q_s1_pdf_docs,
     }
 
@@ -1259,6 +1325,34 @@ def oracle_sql() -> dict[str, str]:
             FROM m
             WHERE mention IN ('spark','table','query','join','window','stream')
             GROUP BY mention
+        """,
+        "s6_ard_docs": f"""
+            WITH raw AS (
+              SELECT * FROM read_json(
+                '{_ARD_FIXTURE}/part*',
+                format='newline_delimited',
+                columns={{title: 'VARCHAR', authors: 'VARCHAR[]',
+                          date_published: 'VARCHAR', text: 'VARCHAR',
+                          abstract: 'VARCHAR', url: 'VARCHAR'}})
+            ), joined AS (
+              SELECT COALESCE(url, title) AS conv_id,
+                     concat_ws(chr(10), COALESCE(title, ''),
+                               COALESCE(abstract, ''),
+                               COALESCE(text, '')) AS j,
+                     title,
+                     CASE WHEN regexp_replace(
+                            COALESCE(array_to_string(authors, ', '), ''),
+                            '\\s', '', 'g') <> ''
+                          THEN array_to_string(authors, ', ')
+                     END AS author
+              FROM raw)
+            SELECT conv_id,
+                   CASE WHEN regexp_replace(j, '\\s', '', 'g') <> ''
+                        THEN j END AS doc_text,
+                   CAST(CASE WHEN regexp_replace(j, '\\s', '', 'g') <> ''
+                        THEN length(j) END AS INTEGER) AS n_chars,
+                   title, author
+            FROM joined
         """,
         "s1_raw_files": f"""
             SELECT parse_filename(filename, true) AS doc_id,

@@ -61,5 +61,6 @@ def ard_as_documents(ard: DataFrame) -> DataFrame:
         F.col("date_published").alias("ts_min"),
         F.col("date_published").alias("ts_max"),
         F.col("title"),
-        F.array_join(F.col("authors"), ", ").alias("author"),
+        # no authors (null OR empty list) → null, not an empty string
+        _non_blank(F.array_join(F.col("authors"), ", ")).alias("author"),
     )

@@ -48,7 +48,7 @@ def test_ard_source(spark, warehouse):
     # pipeline threads through to kg_nodes source_titles/authors
     assert d["http://a"]["title"] == "Paper A"
     assert d["http://a"]["author"] == "X, Y"
-    assert d["http://b"]["author"] == ""
+    assert d["http://b"]["author"] is None  # no authors → null, not ""
 
 
 def test_transcripts_reader_validates(spark, warehouse):
