@@ -739,6 +739,11 @@ class PdfDocument:
         if not isinstance(o, bytes) or not isinstance(u, bytes):
             raise ValueError("pdf: malformed /Encrypt O/U")
         n = 5 if r == 2 else int(self.resolve(enc.get("Length")) or 40) // 8
+        if aes:
+            # AESV2 keys are 128-bit by definition; some writers set
+            # only the crypt filter's byte /Length, not the top-level
+            # bit /Length, so don't trust the 40-bit default here
+            n = 16
         em = self.resolve(enc.get("EncryptMetadata"))
         ids = self.resolve(self.trailer.get("ID"))
         id0 = ids[0] if isinstance(ids, list) and ids else b""

@@ -262,6 +262,11 @@ def test_aesv2_encrypted_decodes():
     data, _, _ = encrypt_pdf_fixture(
         b"BT (aes secured text) Tj ET", method="aes")
     assert extract_pdf_text(data) == "aes secured text"
+    # some writers omit the top-level bit /Length and set only the
+    # crypt filter's byte length — AESV2 keys are 128-bit regardless
+    no_len = data.replace(b"/V 4 /R 4 /Length 128 ", b"/V 4 /R 4 ", 1)
+    assert no_len != data
+    assert extract_pdf_text(no_len) == "aes secured text"
 
 
 def test_password_protected_and_unsupported_quarantine():
