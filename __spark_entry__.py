@@ -1335,7 +1335,9 @@ def oracle_sql() -> dict[str, str]:
                           date_published: 'VARCHAR', text: 'VARCHAR',
                           abstract: 'VARCHAR', url: 'VARCHAR'}})
             ), joined AS (
-              SELECT COALESCE(url, title) AS conv_id,
+              SELECT CASE WHEN regexp_replace(
+                       COALESCE(url, title, ''), '\\s', '', 'g') <> ''
+                     THEN COALESCE(url, title) END AS conv_id,
                      concat_ws(chr(10), COALESCE(title, ''),
                                COALESCE(abstract, ''),
                                COALESCE(text, '')) AS j,

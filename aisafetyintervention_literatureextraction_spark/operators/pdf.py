@@ -699,6 +699,10 @@ class PdfDocument:
             # objects parsed before this point (xref streams, the
             # Encrypt dict itself) are unencrypted by spec
             self._enc = self._setup_encryption()
+            # a brute-force scan may have cached objects (Root hunt)
+            # with their strings still encrypted — drop them so every
+            # post-setup read decrypts
+            self._cache.clear()
 
     def _setup_encryption(self) -> dict:
         """Standard-handler setup: derive the file key for the EMPTY
@@ -719,8 +723,11 @@ class PdfDocument:
         if v == 5:
             return self._setup_v5(enc, r)
         aes = False
+        enc_streams = enc_strings = True
         if v == 4:
-            # crypt filters: the default /StdCF decides the method
+            # crypt filters: /StmF and /StrF select which filter (if
+            # any — /Identity means NOT encrypted) applies to streams
+            # and strings; only the /StdCF filter itself is supported
             cf = self.resolve(enc.get("CF")) or {}
             stdcf = self.resolve(cf.get("StdCF")) if isinstance(cf, dict) \
                 else None
@@ -731,13 +738,22 @@ class PdfDocument:
             elif cfm != "V2":
                 raise ValueError(
                     f"pdf: unsupported encryption crypt filter {cfm}")
+            stmf = str(self.resolve(enc.get("StmF")) or "Identity")
+            strf = str(self.resolve(enc.get("StrF")) or "Identity")
+            for sel in (stmf, strf):
+                if sel not in ("Identity", "StdCF"):
+                    raise ValueError(
+                        f"pdf: unsupported encryption crypt filter {sel}")
+            enc_streams = stmf == "StdCF"
+            enc_strings = strf == "StdCF"
         elif v not in (1, 2) or r not in (2, 3):
             raise ValueError(f"pdf: unsupported encryption V={v} R={r}")
         o = self.resolve(enc.get("O"))
         u = self.resolve(enc.get("U"))
-        p = int(self.resolve(enc.get("P")))
-        if not isinstance(o, bytes) or not isinstance(u, bytes):
-            raise ValueError("pdf: malformed /Encrypt O/U")
+        p = self.resolve(enc.get("P"))
+        if not isinstance(o, bytes) or not isinstance(u, bytes) \
+                or not isinstance(p, int):
+            raise ValueError("pdf: malformed /Encrypt O/U/P")
         n = 5 if r == 2 else int(self.resolve(enc.get("Length")) or 40) // 8
         if aes:
             # AESV2 keys are 128-bit by definition; some writers set
@@ -751,7 +767,8 @@ class PdfDocument:
                             encrypt_metadata=em is not False)
         if not _std_user_check(key, u, id0, r):
             raise ValueError("pdf: password protected")
-        return {"key": key, "aes": aes}
+        return {"key": key, "aes": aes,
+                "streams": enc_streams, "strings": enc_strings}
 
     def _setup_v5(self, enc: dict, r: int) -> dict:
         """AES-256 (PDF 2.0 §7.6.4): /U = hash(32) ‖ validation
@@ -933,11 +950,11 @@ class PdfDocument:
             else:  # damaged /Length: scan for endstream
                 end = data.index(b"endstream", j)
                 raw = data[j:end].rstrip(b"\r\n")
-            if self._enc:
+            if self._enc and self._enc.get("strings", True):
                 val = _decrypt_strings(
                     val, lambda b: self._decrypt(b, num, gen))
             return _Stream(val, raw, num, gen)
-        if self._enc:
+        if self._enc and self._enc.get("strings", True):
             val = _decrypt_strings(val, lambda b: self._decrypt(b, num, gen))
         return val
 
@@ -986,7 +1003,8 @@ class PdfDocument:
         data = stm.raw
         # cross-reference streams are never encrypted (they must be
         # readable before the key exists, §7.5.8.2)
-        if self._enc and stm.dict.get("Type") != "XRef":
+        if self._enc and self._enc.get("streams", True) \
+                and stm.dict.get("Type") != "XRef":
             data = self._decrypt(data, stm.num, stm.gen)
         filters = self.resolve(stm.dict.get("Filter"))
         if filters is None:
@@ -1531,7 +1549,10 @@ def _classify_decode_error(exc: Exception) -> str:
     msg = str(exc)
     if "password protected" in msg:
         return "encrypted_pdf"
-    if "unsupported encryption" in msg or "unsupported security" in msg:
+    if ("unsupported encryption" in msg or "unsupported security" in msg
+            or "malformed /Encrypt" in msg):
+        # a broken/exotic /Encrypt is an encryption-policy problem for
+        # triage purposes, not a parse failure
         return "encrypted_pdf_unsupported"
     return "undecodable_document"
 
@@ -1552,23 +1573,27 @@ def decode_pdf_text(files: DataFrame) -> DataFrame:
             authors: list[Optional[str]] = []
             errors: list[Optional[str]] = []
             for blob in pdf["content"]:
+                # compute the full row FIRST, append exactly once per
+                # file — appending inside the try would misalign the
+                # column lists when a later step (e.g. a damaged /Info
+                # ref) raises after an earlier append succeeded
                 try:
                     doc = PdfDocument(bytes(blob))
                     pages = doc.pages()
-                    texts.append("\n".join(
+                    text = "\n".join(
                         _content_text(doc.page_content(p), doc.page_fonts(p))
-                        for p in pages))
-                    npages.append(len(pages))
+                        for p in pages)
                     info = doc.info()
-                    titles.append(info.get("Title"))
-                    authors.append(info.get("Author"))
-                    errors.append(None)
+                    row = (text, len(pages), info.get("Title"),
+                           info.get("Author"), None)
                 except Exception as exc:
-                    texts.append(None)
-                    npages.append(None)
-                    titles.append(None)
-                    authors.append(None)
-                    errors.append(_classify_decode_error(exc))
+                    row = (None, None, None, None,
+                           _classify_decode_error(exc))
+                texts.append(row[0])
+                npages.append(row[1])
+                titles.append(row[2])
+                authors.append(row[3])
+                errors.append(row[4])
             yield pd.DataFrame({
                 "conv_id": pdf["doc_id"].astype(str),
                 "doc_text": pd.array(texts, dtype="string"),

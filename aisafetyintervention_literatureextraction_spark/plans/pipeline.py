@@ -105,6 +105,14 @@ def normalize_preassembled(docs: DataFrame) -> DataFrame:
     for prov in ("title", "author"):  # provenance optional per source
         if prov not in docs.columns:
             docs = docs.withColumn(prov, F.lit(None).cast("string"))
+    # per-source metadata is kept when provided (ARD roles=['article'],
+    # date_published → ts_min/ts_max), nulled when the source has none
+    if "roles" not in docs.columns:
+        docs = docs.withColumn(
+            "roles", F.lit(None).cast("array<string>"))
+    for ts in ("ts_min", "ts_max"):
+        if ts not in docs.columns:
+            docs = docs.withColumn(ts, F.lit(None).cast("timestamp"))
     reason = (F.coalesce(F.col("quarantine_reason"),
                          F.lit("undecodable_document"))
               if "quarantine_reason" in docs.columns
@@ -113,9 +121,9 @@ def normalize_preassembled(docs: DataFrame) -> DataFrame:
         "conv_id",
         F.coalesce(F.col("n_turns"), F.lit(1)).cast("int").alias("n_turns"),
         "doc_text",
-        F.lit(None).cast("array<string>").alias("roles"),
-        F.lit(None).cast("timestamp").alias("ts_min"),
-        F.lit(None).cast("timestamp").alias("ts_max"),
+        F.col("roles").cast("array<string>").alias("roles"),
+        F.col("ts_min").cast("timestamp").alias("ts_min"),
+        F.col("ts_max").cast("timestamp").alias("ts_max"),
         F.col("title").cast("string").alias("title"),
         F.col("author").cast("string").alias("author"),
         reason.alias("__reason"),
@@ -530,6 +538,26 @@ def run_pipeline_ard(
     return _run_bcd_and_stats(cat, cfg, t0)
 
 
+def _finish_stream_and_stats(cat: Catalog, cfg: PipelineConfig, t0: float,
+                             state: dict) -> dict:
+    """Shared tail of every streaming runner: C/D catch-up when the
+    final micro-batches missed the in-stream trigger boundary, cache
+    release, run stats."""
+    if not state.get("cd_on_last"):
+        stage_c_canonicalize(cat, cfg)
+        stage_d_materialize(cat, cfg)
+    caching.release_caches()
+    wall = time.time() - t0
+    n_triples = cat.read("triples_raw").count()
+    return {
+        "wall_s": wall,
+        "n_triples": n_triples,
+        "triples_per_sec": n_triples / wall,
+        "n_kg_nodes": cat.read("kg_nodes").count(),
+        "n_kg_edges": cat.read("kg_edges").count(),
+    }
+
+
 def run_pipeline_streaming(
     spark: SparkSession, source_path: str, warehouse: str,
     cd_every: int | None = None, **kwargs
@@ -559,19 +587,7 @@ def run_pipeline_streaming(
         extract_engine=cfg.extract_engine, salt_segment=cfg.salt_segment,
         cd_every=cd_every, cd_cfg=cfg,
     )
-    if not state.get("cd_on_last"):
-        stage_c_canonicalize(cat, cfg)
-        stage_d_materialize(cat, cfg)
-    caching.release_caches()
-    wall = time.time() - t0
-    n_triples = cat.read("triples_raw").count()
-    return {
-        "wall_s": wall,
-        "n_triples": n_triples,
-        "triples_per_sec": n_triples / wall,
-        "n_kg_nodes": cat.read("kg_nodes").count(),
-        "n_kg_edges": cat.read("kg_edges").count(),
-    }
+    return _finish_stream_and_stats(cat, cfg, t0, state)
 
 
 def run_pipeline_pdfs_streaming(
@@ -596,19 +612,7 @@ def run_pipeline_pdfs_streaming(
         glob=glob, extract_engine=cfg.extract_engine,
         cd_every=cd_every, cd_cfg=cfg,
     )
-    if not state.get("cd_on_last"):
-        stage_c_canonicalize(cat, cfg)
-        stage_d_materialize(cat, cfg)
-    caching.release_caches()
-    wall = time.time() - t0
-    n_triples = cat.read("triples_raw").count()
-    return {
-        "wall_s": wall,
-        "n_triples": n_triples,
-        "triples_per_sec": n_triples / wall,
-        "n_kg_nodes": cat.read("kg_nodes").count(),
-        "n_kg_edges": cat.read("kg_edges").count(),
-    }
+    return _finish_stream_and_stats(cat, cfg, t0, state)
 
 
 def run_pipeline_ard_streaming(
@@ -631,19 +635,7 @@ def run_pipeline_ard_streaming(
         extract_engine=cfg.extract_engine,
         cd_every=cd_every, cd_cfg=cfg,
     )
-    if not state.get("cd_on_last"):
-        stage_c_canonicalize(cat, cfg)
-        stage_d_materialize(cat, cfg)
-    caching.release_caches()
-    wall = time.time() - t0
-    n_triples = cat.read("triples_raw").count()
-    return {
-        "wall_s": wall,
-        "n_triples": n_triples,
-        "triples_per_sec": n_triples / wall,
-        "n_kg_nodes": cat.read("kg_nodes").count(),
-        "n_kg_edges": cat.read("kg_edges").count(),
-    }
+    return _finish_stream_and_stats(cat, cfg, t0, state)
 
 
 def main() -> None:

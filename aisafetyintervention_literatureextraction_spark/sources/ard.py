@@ -45,7 +45,9 @@ def ard_as_documents(ard: DataFrame) -> DataFrame:
     (D1/D2 unification, SURVEY.md §1.1): doc id = url (the stable key),
     doc_text = title + abstract + text."""
     return ard.select(
-        F.coalesce(F.col("url"), F.col("title")).alias("conv_id"),
+        # blank ids are as unkeyable as null ones: two url-less
+        # articles with title "" must not collide on conv_id ""
+        _non_blank(F.coalesce(F.col("url"), F.col("title"))).alias("conv_id"),
         F.lit(1).alias("n_turns"),
         # an all-empty article must read as NO text (null → quarantine
         # as undecodable), not as the two joiner newlines — note

@@ -314,3 +314,52 @@ def test_aes256_wrong_password_quarantines():
     bad = data.replace(b"/U <", b"/U <ff", 1)
     with pytest.raises(ValueError, match="password"):
         PdfDocument(bad)
+
+
+def test_aes_fips197_vectors_both_paths():
+    """FIPS-197 appendix-C vectors pin BOTH cipher implementations:
+    the scalar inverse cipher (the readable reference form) and the
+    numpy block-parallel path every decrypt actually uses — so the
+    fast path can never drift from the spec form unnoticed."""
+    import numpy as np
+
+    from aisafetyintervention_literatureextraction_spark.operators.pdf import (
+        _aes_blocks_decrypt,
+        _aes_decrypt_block,
+        _aes_expand_key,
+    )
+
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    vectors = [
+        ("000102030405060708090a0b0c0d0e0f",
+         "69c4e0d86a7b0430d8cdb78070b4c55a"),          # AES-128 (C.1)
+        ("000102030405060708090a0b0c0d0e0f1011121314151617",
+         "dda97ca4864cdfe06eaf70a0ec0d7191"),          # AES-192 (C.2)
+        ("000102030405060708090a0b0c0d0e0f"
+         "101112131415161718191a1b1c1d1e1f",
+         "8ea2b7ca516745bfeafc49904b496089"),          # AES-256 (C.3)
+    ]
+    for key_hex, ct_hex in vectors:
+        key, ct = bytes.fromhex(key_hex), bytes.fromhex(ct_hex)
+        assert _aes_decrypt_block(ct, _aes_expand_key(key)) == pt
+        blocks = np.frombuffer(ct, dtype=np.uint8).reshape(1, 16)
+        assert bytes(_aes_blocks_decrypt(key, blocks).tobytes()) == pt
+
+
+def test_v4_stmf_identity_streams_not_decrypted():
+    """V4 crypt filters select per-class: /StmF /Identity means the
+    content streams are NOT encrypted even though /StdCF exists —
+    'decrypting' them anyway would turn plaintext into garbage."""
+    data, key, objkey = encrypt_pdf_fixture(b"", method="aes")
+    # rebuild: plaintext content stream + V4 dict selecting Identity
+    # for streams (strings still /StdCF)
+    cs = b"BT (plain streams) Tj ET"
+    objs = simple_doc_objects(cs)
+    enc = re.search(rb"5 0 obj\n(<<.*?>>)\nendobj", data, re.S).group(1)
+    enc = enc.replace(b"/StmF /StdCF", b"/StmF /Identity")
+    objs[5] = enc
+    trailer = (b"<< /Size 7 /Root 1 0 R /Encrypt 5 0 R /ID [<%s> <%s>] >>"
+               % (bytes(range(16)).hex().encode(),
+                  bytes(range(16)).hex().encode()))
+    out = build_classic(objs, trailer)
+    assert extract_pdf_text(out) == "plain streams"
