@@ -986,9 +986,17 @@ class PdfDocument:
             m2 = _NUM_RE.match(body, _skip_ws(body, m1.end()))
             pairs.append((int(m1.group(0)), int(m2.group(0))))
             i = m2.end()
-        num, off = pairs[idx]
+        num, off = pairs[idx] if 0 <= idx < len(pairs) else (None, None)
         if num != want:  # index mismatch: search by object number
-            off = next(o for (nn, o) in pairs if nn == want)
+            off = next((o for (nn, o) in pairs if nn == want), None)
+            if off is None:
+                # ObjStm /Extends chain (§7.5.7): the object may live
+                # in the stream this one extends
+                ext = stm.dict.get("Extends")
+                if isinstance(ext, Ref):
+                    return self._from_objstm(ext.num, -1, want)
+                raise ValueError(
+                    f"pdf: object {want} not in ObjStm {stm_num}")
         val, _ = _parse_object(body, first + off)
         return val
 

@@ -363,3 +363,53 @@ def test_v4_stmf_identity_streams_not_decrypted():
                   bytes(range(16)).hex().encode()))
     out = build_classic(objs, trailer)
     assert extract_pdf_text(out) == "plain streams"
+
+
+def test_objstm_extends_chain():
+    """PDF 1.5 §7.5.7: an ObjStm may /Extends another — an xref entry
+    can point at the extending stream while the object actually lives
+    up the chain. The reader must follow /Extends instead of failing
+    on the index miss."""
+    eol = b"\n"
+    out = bytearray(b"%PDF-1.5" + eol)
+    offsets = {}
+    cs = b"BT (extends chain) Tj ET"
+
+    def objstm(num, members, extends=None):
+        header = b"".join(b"%d %d " % (n, off) for n, off in members[0])
+        body = members[1]
+        ext = b" /Extends %d 0 R" % extends if extends else b""
+        d = (b"<< /Type /ObjStm /N %d /First %d /Length %d%s >>"
+             % (len(members[0]), len(header), len(header + body), ext))
+        return d + eol + b"stream" + eol + header + body + eol + b"endstream"
+
+    cat_b = b"<< /Type /Catalog /Pages 2 0 R >>\n"
+    pages_b = b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>\n"
+    a_members = ([(1, 0), (2, len(cat_b))], cat_b + pages_b)
+    page_b = (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+              b"/Contents 4 0 R >>\n")
+    b_members = ([(3, 0)], page_b)
+
+    for num, body in (
+        (4, (b"<< /Length %d >>\nstream\n" % len(cs)) + cs + b"\nendstream"),
+        (6, objstm(6, a_members)),
+        (7, objstm(7, b_members, extends=6)),
+    ):
+        offsets[num] = len(out)
+        out += wrap_obj(num, body, eol)
+    # xref stream: objs 1,2 claimed in ObjStm 7 (they are NOT — they
+    # live up the /Extends chain in 6); obj 3 genuinely in 7
+    xref_pos = len(out)
+    rows = b""
+    ents = {1: (2, 7, 5), 2: (2, 7, 6), 3: (2, 7, 0),
+            4: (1, offsets[4], 0), 6: (1, offsets[6], 0),
+            7: (1, offsets[7], 0), 8: (1, xref_pos, 0)}
+    for n in range(9):
+        t, f2, f3 = ents.get(n, (0, 0, 0))
+        rows += bytes([t]) + f2.to_bytes(2, "big") + bytes([f3])
+    stm = (b"<< /Type /XRef /Size 9 /W [1 2 1] /Index [0 9] "
+           b"/Root 1 0 R /Length %d >>\nstream\n" % len(rows)
+           ) + rows + b"\nendstream"
+    out += wrap_obj(8, stm, eol)
+    out += b"startxref" + eol + b"%d" % xref_pos + eol + b"%%EOF" + eol
+    assert extract_pdf_text(bytes(out)) == "extends chain"
