@@ -68,6 +68,7 @@ from typing import Iterator, Optional
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
     StringType,
     StructField,
@@ -1008,6 +1009,16 @@ class PdfDocument:
 
     # -- streams ------------------------------------------------------
     def _decode_stream(self, stm: _Stream) -> bytes:
+        data, _ = self._apply_filters(stm)
+        return data
+
+    def _apply_filters(self, stm: _Stream,
+                       stop_at: tuple = ()) -> tuple[bytes, Optional[str]]:
+        """Decrypt + run the filter chain.  A filter named in
+        ``stop_at`` (terminal image codecs like DCTDecode, whose
+        output is the useful artifact) ends the chain early: returns
+        (bytes, that filter's name); otherwise (fully decoded bytes,
+        None)."""
         data = stm.raw
         # cross-reference streams are never encrypted (they must be
         # readable before the key exists, §7.5.8.2)
@@ -1016,7 +1027,7 @@ class PdfDocument:
             data = self._decrypt(data, stm.num, stm.gen)
         filters = self.resolve(stm.dict.get("Filter"))
         if filters is None:
-            return data
+            return data, None
         if not isinstance(filters, list):
             filters = [filters]
         parms = self.resolve(stm.dict.get("DecodeParms"))
@@ -1024,6 +1035,8 @@ class PdfDocument:
             parms = [parms] * len(filters)
         for filt, pp in zip(filters, parms):
             name = str(filt)
+            if name in stop_at:
+                return data, name
             pp = self.resolve(pp)
             if name == "FlateDecode":
                 data = zlib.decompress(data)
@@ -1051,7 +1064,7 @@ class PdfDocument:
                         int(self.resolve(pp.get("Colors", 1))),
                         int(self.resolve(pp.get("BitsPerComponent", 8))),
                     )
-        return data
+        return data, None
 
     # -- pages --------------------------------------------------------
     def pages(self) -> list[dict]:
@@ -1613,3 +1626,85 @@ def decode_pdf_text(files: DataFrame) -> DataFrame:
 
     return files.select("doc_id", "content").mapInPandas(
         run, PDF_DOC_SCHEMA)
+
+
+# ---------------------------------------------------------------------
+# embedded images → multimodal columns
+# ---------------------------------------------------------------------
+
+def iter_page_images(doc: PdfDocument, page: dict) -> list[dict]:
+    """One page's /Resources /XObject images as metadata + bytes:
+    DCTDecode XObjects pass through as ready-to-decode JFIF bytes
+    (operators/jpeg.decode_jpeg handles them), everything else fully
+    defilters to the raw sample bytes described by Width/Height/
+    BitsPerComponent/ColorSpace."""
+    res = doc.resolve(page.get("Resources")) or {}
+    xo = doc.resolve(res.get("XObject")) or {}
+    out = []
+    if not isinstance(xo, dict):
+        return out
+    for name, ref in xo.items():
+        obj = doc.resolve(ref)
+        if not isinstance(obj, _Stream) \
+                or str(obj.dict.get("Subtype")) != "Image":
+            continue
+        try:
+            data, codec = doc._apply_filters(obj, stop_at=("DCTDecode",))
+        except Exception:
+            continue  # undecodable image: skip, text still extracts
+        cs = doc.resolve(obj.dict.get("ColorSpace"))
+        out.append({
+            "name": str(name),
+            "width": int(doc.resolve(obj.dict.get("Width")) or 0),
+            "height": int(doc.resolve(obj.dict.get("Height")) or 0),
+            "bits": int(doc.resolve(obj.dict.get("BitsPerComponent")) or 8),
+            "color_space": str(cs) if isinstance(cs, (Name, str)) else
+            (str(cs[0]) if isinstance(cs, list) and cs else None),
+            "fmt": "jpeg" if codec == "DCTDecode" else "raw",
+            "content": data,
+        })
+    return out
+
+
+PDF_IMAGE_SCHEMA = StructType([
+    StructField("conv_id", StringType(), False),
+    StructField("page_idx", IntegerType(), True),
+    StructField("name", StringType(), True),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("bits", IntegerType(), True),
+    StructField("color_space", StringType(), True),
+    StructField("fmt", StringType(), True),   # jpeg | raw
+    StructField("content", BinaryType(), True),
+])
+
+
+def extract_pdf_images(files: DataFrame) -> DataFrame:
+    """(doc_id, content) binaryFile rows → one row per embedded image
+    (the multimodal-columns contract: opaque ``binary`` payload +
+    typed metadata).  DCTDecode images stay JPEG — feed them to
+    operators/jpeg.decode_jpeg or the multimodal feature UDFs; ``raw``
+    rows carry defiltered samples with their geometry.  Arrow-batched
+    ``mapInPandas``, per-file decode where the bytes are, undecodable
+    files contribute zero rows (text-path quarantine already covers
+    them)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                try:
+                    doc = PdfDocument(bytes(blob))
+                    for pi, page in enumerate(doc.pages()):
+                        for im in iter_page_images(doc, page):
+                            rows.append({"conv_id": str(doc_id),
+                                         "page_idx": pi, **im})
+                except Exception:
+                    continue
+            yield pd.DataFrame(
+                rows, columns=["conv_id", "page_idx", "name", "width",
+                               "height", "bits", "color_space", "fmt",
+                               "content"])
+
+    return files.select("doc_id", "content").mapInPandas(
+        run, PDF_IMAGE_SCHEMA)

@@ -413,3 +413,90 @@ def test_objstm_extends_chain():
     out += wrap_obj(8, stm, eol)
     out += b"startxref" + eol + b"%d" % xref_pos + eol + b"%%EOF" + eol
     assert extract_pdf_text(bytes(out)) == "extends chain"
+
+
+def _image_pdf_fixture():
+    """Page with two image XObjects — a DCTDecode (real baseline JFIF
+    from operators/jpeg.encode_jpeg) and a FlateDecode raw RGB — plus
+    a text caption, hand-assembled."""
+    import numpy as np
+    import zlib
+
+    from aisafetyintervention_literatureextraction_spark.operators.jpeg import (
+        encode_jpeg,
+    )
+
+    h, w = 24, 16
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    img[..., 0] = np.linspace(0, 255, w, dtype=np.uint8)[None, :]
+    img[..., 1] = np.linspace(0, 255, h, dtype=np.uint8)[:, None]
+    img[..., 2] = 128
+    jfif = encode_jpeg(img, quality=92)
+    raw = bytes(img.reshape(-1))
+    flate_raw = zlib.compress(raw)
+
+    objs = simple_doc_objects(b"q 32 0 0 48 10 700 cm /Im1 Do Q\n"
+                              b"q 32 0 0 48 60 700 cm /Im2 Do Q\n"
+                              b"BT (figure caption) Tj ET")
+    objs[3] = objs[3][:-3] + (
+        b" /Resources << /XObject << /Im1 5 0 R /Im2 6 0 R >> >> >>")
+    objs[5] = (b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+               b"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+               b"/Filter /DCTDecode /Length %d >>\nstream\n"
+               % (w, h, len(jfif))) + jfif + b"\nendstream"
+    objs[6] = (b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+               b"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+               b"/Filter /FlateDecode /Length %d >>\nstream\n"
+               % (w, h, len(flate_raw))) + flate_raw + b"\nendstream"
+    return build_classic(objs, TRAILER % 7), img, raw
+
+
+def test_embedded_images_extract():
+    """PDF → multimodal columns: the DCTDecode XObject comes out as
+    decodable JFIF bytes (pixel-checked through operators/jpeg), the
+    Flate image as exact raw samples with geometry — and the text path
+    is unaffected by the image operators in the content stream."""
+    import numpy as np
+
+    from aisafetyintervention_literatureextraction_spark.operators.jpeg import (
+        decode_jpeg,
+    )
+    from aisafetyintervention_literatureextraction_spark.operators.pdf import (
+        iter_page_images,
+    )
+
+    data, img, raw = _image_pdf_fixture()
+    assert extract_pdf_text(data) == "figure caption"
+    doc = PdfDocument(data)
+    ims = {im["name"]: im for p in doc.pages()
+           for im in iter_page_images(doc, p)}
+    assert set(ims) == {"Im1", "Im2"}
+    jm, rm = ims["Im1"], ims["Im2"]
+    assert (jm["fmt"], jm["width"], jm["height"],
+            jm["color_space"]) == ("jpeg", 16, 24, "DeviceRGB")
+    decoded = np.asarray(decode_jpeg(jm["content"]))
+    assert decoded.shape == img.shape
+    assert float(np.abs(decoded.astype(int) - img.astype(int)).mean()) < 6.0
+    assert rm["fmt"] == "raw" and rm["content"] == raw
+
+
+def test_embedded_images_extract_spark(spark, tmp_path):
+    """The distributed wrapper: binaryFile dir → one row per embedded
+    image with the typed-metadata schema; encrypted PDFs decrypt the
+    image stream bytes too."""
+    from aisafetyintervention_literatureextraction_spark.operators.pdf import (
+        extract_pdf_images,
+    )
+    from aisafetyintervention_literatureextraction_spark.sources.raw_files import (
+        read_raw_files,
+    )
+
+    data, img, raw = _image_pdf_fixture()
+    (tmp_path / "a.pdf").write_bytes(data)
+    (tmp_path / "broken.pdf").write_bytes(b"%PDF garbage")
+    out = extract_pdf_images(
+        read_raw_files(spark, str(tmp_path), glob="*.pdf"))
+    rows = {(r.conv_id, r.name): r for r in out.collect()}
+    assert set(rows) == {("a", "Im1"), ("a", "Im2")}
+    assert rows[("a", "Im2")].content == raw
+    assert rows[("a", "Im1")].fmt == "jpeg"
