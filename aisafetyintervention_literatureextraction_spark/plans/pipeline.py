@@ -475,26 +475,50 @@ def run_pipeline(
 
 def run_pipeline_pdfs(
     spark: SparkSession, pdf_dir: str, warehouse: str, glob: str = "*.pdf",
-    **kwargs,
+    extract_images: bool = False, **kwargs,
 ) -> dict:
     """The reference's own input format end-to-end: a directory of PDF
     files → binaryFile scan → stdlib text extraction (operators/pdf.py,
     Arrow-batched) → documents → stages B-D. Undecodable PDFs
     quarantine instead of failing the run; resume semantics are the
-    transcript pipeline's (re-running skips already-ingested stems)."""
-    from ..operators.pdf import decode_pdf_text
+    transcript pipeline's (re-running skips already-ingested stems).
+    ``extract_images=True`` also lands every embedded /XObject image
+    as a row in the ``images`` warehouse table (multimodal-columns
+    shape: typed metadata + binary payload; DCTDecode stays JPEG)."""
+    from ..operators.pdf import decode_pdf_text, extract_pdf_images
     from ..sources.raw_files import read_raw_files
 
     cfg = PipelineConfig(warehouse=warehouse, **kwargs)
     cat = make_catalog(spark, warehouse, backend=cfg.catalog_backend)
     t0 = time.time()
-    docs = decode_pdf_text(read_raw_files(spark, pdf_dir, glob=glob)).select(
+    files = read_raw_files(spark, pdf_dir, glob=glob)
+    docs = decode_pdf_text(files).select(
         "conv_id", F.col("n_pages").alias("n_turns"), "doc_text",
         "title", "author",  # /Info provenance → documents → stage D
         F.col("decode_error").alias("quarantine_reason"),
     )
     stage_a_ingest_documents(cat, docs, cfg)
-    return _run_bcd_and_stats(cat, cfg, t0)
+    stats_extra = {}
+    if extract_images:
+        run_id = ckpt.new_run_id()
+        if cfg.resume:
+            ckpt.reconcile(cat, ["images"])
+        imgs = files
+        if cfg.resume and cat.exists("images"):
+            # image extraction is per-file idempotent: skip files whose
+            # images already landed (conv_id = stem)
+            from ..sources.raw_files import skip_processed
+
+            imgs = skip_processed(
+                files, cat.read("images").select(
+                    F.col("conv_id").alias("doc_id")))
+        delta = caching.track(extract_pdf_images(imgs))
+        cat.append(delta, "images", run_id=run_id)
+        ckpt.mark_processed(
+            cat, "A_images", run_id, delta.select("conv_id").distinct())
+        stats_extra["n_images"] = cat.read("images").count()
+        delta.unpersist()
+    return {**_run_bcd_and_stats(cat, cfg, t0), **stats_extra}
 
 
 def _run_bcd_and_stats(cat: Catalog, cfg: PipelineConfig, t0: float) -> dict:
@@ -657,6 +681,10 @@ def main() -> None:
                     help="with --stream: run the delta-aware stages C+D "
                          "INSIDE the stream loop after every N "
                          "micro-batches, so kg tables converge live")
+    ap.add_argument("--extract-images", action="store_true",
+                    help="with --pdf-dir: also land every embedded "
+                         "/XObject image in the `images` warehouse "
+                         "table (typed metadata + binary payload)")
     ap.add_argument("--export-cypher", metavar="DIR", default=None,
                     help="after the run, write the graph as an "
                          "idempotent Cypher MERGE script (nodes/ then "
@@ -681,7 +709,8 @@ def main() -> None:
         )
     elif args.pdf_dir:
         stats = run_pipeline_pdfs(
-            spark, args.pdf_dir, args.warehouse, extract_engine=args.engine
+            spark, args.pdf_dir, args.warehouse, extract_engine=args.engine,
+            extract_images=args.extract_images,
         )
     elif args.stream:
         stats = run_pipeline_streaming(

@@ -500,3 +500,27 @@ def test_embedded_images_extract_spark(spark, tmp_path):
     assert set(rows) == {("a", "Im1"), ("a", "Im2")}
     assert rows[("a", "Im2")].content == raw
     assert rows[("a", "Im1")].fmt == "jpeg"
+
+
+def test_pipeline_extract_images_table(spark, tmp_path):
+    """--extract-images: the PDF pipeline also lands an `images`
+    warehouse table, per-file idempotent on re-run."""
+    from aisafetyintervention_literatureextraction_spark.catalog import Catalog
+    from aisafetyintervention_literatureextraction_spark.plans.pipeline import (
+        run_pipeline_pdfs,
+    )
+
+    data, img, raw = _image_pdf_fixture()
+    d = tmp_path / "pdfs"
+    d.mkdir()
+    (d / "figdoc.pdf").write_bytes(data)
+    wh = str(tmp_path / "wh")
+    stats = run_pipeline_pdfs(spark, str(d), wh, extract_images=True)
+    assert stats["n_images"] == 2
+    cat = Catalog(spark, wh)
+    rows = {r.name: r for r in cat.read("images").collect()}
+    assert rows["Im2"].content == raw
+    assert rows["Im1"].fmt == "jpeg" and rows["Im1"].conv_id == "figdoc"
+    # re-run: per-file skip → no duplicate image rows
+    stats2 = run_pipeline_pdfs(spark, str(d), wh, extract_images=True)
+    assert stats2["n_images"] == 2
