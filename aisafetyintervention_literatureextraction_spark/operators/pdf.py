@@ -1637,33 +1637,58 @@ def iter_page_images(doc: PdfDocument, page: dict) -> list[dict]:
     DCTDecode XObjects pass through as ready-to-decode JFIF bytes
     (operators/jpeg.decode_jpeg handles them), everything else fully
     defilters to the raw sample bytes described by Width/Height/
-    BitsPerComponent/ColorSpace."""
-    res = doc.resolve(page.get("Resources")) or {}
-    xo = doc.resolve(res.get("XObject")) or {}
-    out = []
-    if not isinstance(xo, dict):
-        return out
-    for name, ref in xo.items():
-        obj = doc.resolve(ref)
-        if not isinstance(obj, _Stream) \
-                or str(obj.dict.get("Subtype")) != "Image":
-            continue
-        try:
-            data, codec = doc._apply_filters(obj, stop_at=("DCTDecode",))
-        except Exception:
-            continue  # undecodable image: skip, text still extracts
-        cs = doc.resolve(obj.dict.get("ColorSpace"))
-        out.append({
-            "name": str(name),
-            "width": int(doc.resolve(obj.dict.get("Width")) or 0),
-            "height": int(doc.resolve(obj.dict.get("Height")) or 0),
-            "bits": int(doc.resolve(obj.dict.get("BitsPerComponent")) or 8),
-            "color_space": str(cs) if isinstance(cs, (Name, str)) else
-            (str(cs[0]) if isinstance(cs, list) and cs else None),
-            "fmt": "jpeg" if codec == "DCTDecode" else "raw",
-            "content": data,
-        })
+    BitsPerComponent/ColorSpace.  Form XObjects are walked for their
+    nested images (the common LaTeX/matplotlib figure wrapper); one
+    malformed image skips only itself."""
+    out: list[dict] = []
+    _walk_xobjects(doc, doc.resolve(page.get("Resources")), out, 0, set())
     return out
+
+
+def _walk_xobjects(doc: PdfDocument, res, out: list, depth: int,
+                   seen: set) -> None:
+    if depth > 8 or not isinstance(res, dict):
+        return
+    xo = doc.resolve(res.get("XObject"))
+    if not isinstance(xo, dict):
+        return
+    for name, ref in xo.items():
+        try:
+            # a form referencing itself (directly or via a cycle) must
+            # not re-emit its images once per recursion level
+            key = (ref.num, ref.gen) if isinstance(ref, Ref) else id(ref)
+            if key in seen:
+                continue
+            seen.add(key)
+            obj = doc.resolve(ref)
+            if not isinstance(obj, _Stream):
+                continue
+            sub = str(obj.dict.get("Subtype"))
+            if sub == "Form":  # nested resources carry figure images
+                _walk_xobjects(
+                    doc, doc.resolve(obj.dict.get("Resources")), out,
+                    depth + 1, seen)
+                continue
+            if sub != "Image":
+                continue
+            data, codec = doc._apply_filters(obj, stop_at=("DCTDecode",))
+            cs = doc.resolve(obj.dict.get("ColorSpace"))
+            mask = doc.resolve(obj.dict.get("ImageMask")) is True
+            bits = doc.resolve(obj.dict.get("BitsPerComponent"))
+            out.append({
+                "name": str(name),
+                "width": int(doc.resolve(obj.dict.get("Width")) or 0),
+                "height": int(doc.resolve(obj.dict.get("Height")) or 0),
+                # /ImageMask true implies 1-bit stencil samples
+                "bits": int(bits) if bits is not None else (1 if mask else 8),
+                "color_space": "ImageMask" if mask else (
+                    str(cs) if isinstance(cs, (Name, str)) else
+                    (str(cs[0]) if isinstance(cs, list) and cs else None)),
+                "fmt": "jpeg" if codec == "DCTDecode" else "raw",
+                "content": data,
+            })
+        except Exception:
+            continue  # one undecodable image skips only itself
 
 
 PDF_IMAGE_SCHEMA = StructType([
@@ -1693,14 +1718,19 @@ def extract_pdf_images(files: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                # per-FILE atomicity: only emit a file's rows once the
+                # whole document walked — partial rows would make the
+                # resume skip treat the file as done and lose the rest
                 try:
                     doc = PdfDocument(bytes(blob))
-                    for pi, page in enumerate(doc.pages()):
-                        for im in iter_page_images(doc, page):
-                            rows.append({"conv_id": str(doc_id),
-                                         "page_idx": pi, **im})
+                    file_rows = [
+                        {"conv_id": str(doc_id), "page_idx": pi, **im}
+                        for pi, page in enumerate(doc.pages())
+                        for im in iter_page_images(doc, page)
+                    ]
                 except Exception:
                     continue
+                rows.extend(file_rows)
             yield pd.DataFrame(
                 rows, columns=["conv_id", "page_idx", "name", "width",
                                "height", "bits", "color_space", "fmt",

@@ -480,6 +480,43 @@ def test_embedded_images_extract():
     assert rm["fmt"] == "raw" and rm["content"] == raw
 
 
+def test_images_inside_form_xobjects_and_masks():
+    """LaTeX/matplotlib figures usually wrap the bitmap in a Form
+    XObject (``/Subtype /Form`` with its own /Resources); stencil
+    masks carry ``/ImageMask true`` and omit /BitsPerComponent.  The
+    walker must descend into the form and report the mask as a 1-bit
+    ImageMask — and a self-referencing form must not recurse forever."""
+    from aisafetyintervention_literatureextraction_spark.operators.pdf import (
+        iter_page_images,
+    )
+
+    mask = bytes([0b10101010] * 8)  # 8x8 1-bit stencil, one byte/row
+    form_cs = b"q 8 0 0 8 0 0 cm /Msk Do Q"
+    objs = simple_doc_objects(b"q 50 0 0 50 10 700 cm /Fig Do Q\n"
+                              b"BT (wrapped figure) Tj ET")
+    objs[3] = objs[3][:-3] + (
+        b" /Resources << /XObject << /Fig 5 0 R >> >> >>")
+    # the form's resources point at the mask AND back at the form
+    # itself (depth guard), the common shape minus the cycle
+    objs[5] = (b"<< /Type /XObject /Subtype /Form /BBox [0 0 8 8] "
+               b"/Resources << /XObject << /Msk 6 0 R /Self 5 0 R >> >> "
+               b"/Length %d >>\nstream\n" % len(form_cs)
+               ) + form_cs + b"\nendstream"
+    objs[6] = (b"<< /Type /XObject /Subtype /Image /Width 8 /Height 8 "
+               b"/ImageMask true /Length %d >>\nstream\n" % len(mask)
+               ) + mask + b"\nendstream"
+    data = build_classic(objs, TRAILER % 7)
+
+    assert extract_pdf_text(data) == "wrapped figure"
+    doc = PdfDocument(data)
+    ims = [im for p in doc.pages() for im in iter_page_images(doc, p)]
+    assert len(ims) == 1
+    (im,) = ims
+    assert (im["name"], im["width"], im["height"]) == ("Msk", 8, 8)
+    assert im["bits"] == 1 and im["color_space"] == "ImageMask"
+    assert im["fmt"] == "raw" and im["content"] == mask
+
+
 def test_embedded_images_extract_spark(spark, tmp_path):
     """The distributed wrapper: binaryFile dir → one row per embedded
     image with the typed-metadata schema; encrypted PDFs decrypt the
