@@ -829,6 +829,38 @@ def q_s1_pdf_docs(spark, sf_dir):
     )
 
 
+def q_s1_pdf_images(spark, sf_dir):
+    """Embedded PDF images → multimodal columns (operators/pdf.py
+    extract_pdf_images): Image XObjects come out of the same binaryFile
+    scan as typed metadata + bytes — /DCTDecode passes through as JFIF,
+    everything else defilters to raw samples; encrypted docs (doc 2 is
+    RC4 + DCTDecode) must decrypt the image stream too.  Oracle: DuckDB
+    read_blob over the writer's expected_images sidecars, with every
+    metadata column re-derived in SQL from the deterministic
+    ``pdfgen.doc_image`` index formulas; bytes graded as md5(hex)."""
+    from aisafetyintervention_literatureextraction_spark.operators.pdf import (
+        extract_pdf_images,
+    )
+    from aisafetyintervention_literatureextraction_spark.pdfgen import (
+        ensure_pdf_fixture,
+    )
+
+    d = ensure_pdf_fixture(_PDF_FIXTURE)
+    ims = extract_pdf_images(read_raw_files(spark, d, glob="*.pdf"))
+    return ims.select(
+        F.col("conv_id").alias("doc_id"),
+        "page_idx",
+        "name",
+        "width",
+        "height",
+        "bits",
+        "color_space",
+        "fmt",
+        F.md5(F.hex("content")).alias("content_md5"),
+        F.length("content").cast("int").alias("n_bytes"),
+    )
+
+
 def q_s1_raw_files(spark, sf_dir):
     """S1 raw-file half (sources/raw_files.py): binaryFile directory
     scan with glob pushdown and stem ids (C2) — the reference's PDF-dir
@@ -897,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s1_raw_files": q_s1_raw_files,
         "s6_ard_docs": q_s6_ard_docs,
         "s1_pdf_docs": q_s1_pdf_docs,
+        "s1_pdf_images": q_s1_pdf_images,
     }
 
 
@@ -1372,6 +1405,30 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, CAST(substring(parse_filename(filename, true), 5)
                              AS INTEGER) AS i
               FROM read_blob('{_PDF_FIXTURE}/expected/*.txt')
+            )
+        """,
+        # every metadata column is the same pure function of the doc
+        # index that pdfgen.doc_image computes; the bytes themselves are
+        # the expected_images sidecars (md5-of-hex because DuckDB's md5
+        # only takes VARCHAR; hex() is uppercase in both engines)
+        "s1_pdf_images": f"""
+            SELECT substring(stem, 1, 7) AS doc_id,
+                   CAST(0 AS INTEGER) AS page_idx,
+                   'Im0' AS name,
+                   CAST(8 + (i % 5) * 4 AS INTEGER) AS width,
+                   CAST(6 + (i % 3) * 4 AS INTEGER) AS height,
+                   CAST(8 AS INTEGER) AS bits,
+                   CASE WHEN i % 4 <> 2 AND i % 3 = 0 THEN 'DeviceGray'
+                        ELSE 'DeviceRGB' END AS color_space,
+                   CASE WHEN i % 4 = 2 THEN 'jpeg' ELSE 'raw' END AS fmt,
+                   md5(hex(content)) AS content_md5,
+                   CAST(octet_length(content) AS INTEGER) AS n_bytes
+            FROM (
+              SELECT parse_filename(filename, true) AS stem,
+                     CAST(substring(parse_filename(filename, true), 5, 3)
+                          AS INTEGER) AS i,
+                     content
+              FROM read_blob('{_PDF_FIXTURE}/expected_images/*.bin')
             )
         """,
     }

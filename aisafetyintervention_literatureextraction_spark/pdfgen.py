@@ -241,7 +241,8 @@ def build_pdf(pages: list[list[str]], *, mode: str = "tj",
               flate: bool = False, xref_stream: bool = False,
               stream_filter: str | None = None,
               info: dict | None = None,
-              encrypt: str | None = None) -> bytes:
+              encrypt: str | None = None,
+              image: dict | None = None) -> bytes:
     """Serialize a complete PDF showing ``pages`` (lists of text lines).
 
     ``xref_stream=True`` emits a PDF 1.5 file: the dict objects live in
@@ -251,6 +252,10 @@ def build_pdf(pages: list[list[str]], *, mode: str = "tj",
     ``stream_filter`` selects the content-stream encoding: None,
     "flate", "a85" (ASCII85Decode) or "lzw" (LZWDecode); ``flate=True``
     is the legacy spelling of stream_filter="flate".
+    ``image`` (a ``doc_image``-shaped dict) embeds one Image XObject on
+    page 0: raw sample bytes go Flate-filtered, "jpeg" content embeds
+    as /DCTDecode; the Do operators live in a SECOND /Contents stream
+    so the text bytes — and the expected-text sidecars — are untouched.
     """
     if stream_filter is None and flate:
         stream_filter = "flate"
@@ -322,6 +327,33 @@ def build_pdf(pages: list[list[str]], *, mode: str = "tj",
                 body += (b" /" + k.encode("ascii")
                          + b" (" + _esc_lit(str(v)) + b")")
         dict_objs[info_num] = body + b" >>"
+
+    if image:
+        img_num = info_num + (1 if info else 0)
+        ops_num = img_num + 1
+        if image["fmt"] == "jpeg":
+            img_body, img_filter = image["content"], b"/DCTDecode"
+        else:
+            img_body, img_filter = zlib.compress(image["content"]), \
+                b"/FlateDecode"
+        streams[img_num] = (
+            b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+            b"/ColorSpace /%s /BitsPerComponent %d /Filter %s /Length %d >>"
+            % (image["width"], image["height"],
+               image["color_space"].encode("ascii"), image["bits"],
+               img_filter, len(img_body)),
+            img_body)
+        streams[ops_num] = enc_stream(
+            b"q %d 0 0 %d 40 40 cm /%s Do Q"
+            % (image["width"], image["height"],
+               image["name"].encode("ascii")))
+        dict_objs[page_nums[0]] = (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> "
+            b"/XObject << /%s %d 0 R >> >> "
+            b"/Contents [%d 0 R %d 0 R] >>"
+            % (image["name"].encode("ascii"), img_num,
+               content_nums[0], ops_num))
 
     out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n" if xref_stream
                     else b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
@@ -466,6 +498,40 @@ def expected_text(i: int, grammar: bool = False) -> str:
 _FILTERS = (None, "flate", "a85", "lzw")
 
 
+def doc_image(i: int) -> dict:
+    """Deterministic embedded image for fixture doc ``i`` — every
+    property is a pure function of the index, mirrored term-for-term by
+    the s1_pdf_images oracle SQL: every 4th doc embeds real JFIF bytes
+    (operators/jpeg.encode_jpeg, /DCTDecode passthrough), the rest are
+    Flate-filtered raw samples, gray or RGB."""
+    w = 8 + (i % 5) * 4
+    h = 6 + (i % 3) * 4
+    jpeg = i % 4 == 2
+    gray = (not jpeg) and i % 3 == 0
+    if jpeg:
+        import numpy as np
+
+        from .operators.jpeg import encode_jpeg
+
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack([(xx * 7 + i) % 256, (yy * 13 + i * 3) % 256,
+                        (xx * 3 + yy * 5) % 256], axis=-1).astype(np.uint8)
+        content = encode_jpeg(img, quality=90)
+    else:
+        px = bytearray()
+        for y in range(h):
+            for x in range(w):
+                if gray:
+                    px.append((x * 7 + y * 13 + i * 5) % 256)
+                else:
+                    px += bytes(((x * 7 + i) % 256, (y * 13 + i * 3) % 256,
+                                 (x * 3 + y * 5) % 256))
+        content = bytes(px)
+    return {"name": "Im0", "width": w, "height": h, "bits": 8,
+            "color_space": "DeviceGray" if gray else "DeviceRGB",
+            "fmt": "jpeg" if jpeg else "raw", "content": content}
+
+
 def build_doc(i: int, grammar: bool = False) -> bytes:
     return build_pdf(
         doc_pages(i, grammar=grammar),
@@ -479,6 +545,10 @@ def build_doc(i: int, grammar: bool = False) -> bytes:
         # path: key derivation, per-object keys, stream + /Info string
         # decryption, across both xref layouts
         encrypt="rc4" if i % 5 == 2 else None,
+        # one embedded image per doc: the s1_pdf_images oracle grades
+        # XObject extraction (incl. decrypting image streams — doc 2
+        # is an ENCRYPTED DCTDecode) against expected_images sidecars
+        image=doc_image(i),
     )
 
 
@@ -499,6 +569,11 @@ def ensure_pdf_fixture(dirpath: str, n_docs: int = 16,
         body = expected_text(i, grammar=grammar)
         if not txt.exists() or txt.read_text(encoding="utf-8") != body:
             txt.write_text(body, encoding="utf-8")
+        im = doc_image(i)
+        blob = d / "expected_images" / f"doc_{i:03d}_p0_{im['name']}.bin"
+        blob.parent.mkdir(exist_ok=True)
+        if not blob.exists() or blob.read_bytes() != im["content"]:
+            blob.write_bytes(im["content"])
     return str(d)
 
 
