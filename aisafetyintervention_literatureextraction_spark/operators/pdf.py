@@ -1671,24 +1671,42 @@ def _walk_xobjects(doc: PdfDocument, res, out: list, depth: int,
                 continue
             if sub != "Image":
                 continue
-            data, codec = doc._apply_filters(obj, stop_at=("DCTDecode",))
-            cs = doc.resolve(obj.dict.get("ColorSpace"))
-            mask = doc.resolve(obj.dict.get("ImageMask")) is True
-            bits = doc.resolve(obj.dict.get("BitsPerComponent"))
-            out.append({
-                "name": str(name),
-                "width": int(doc.resolve(obj.dict.get("Width")) or 0),
-                "height": int(doc.resolve(obj.dict.get("Height")) or 0),
-                # /ImageMask true implies 1-bit stencil samples
-                "bits": int(bits) if bits is not None else (1 if mask else 8),
-                "color_space": "ImageMask" if mask else (
-                    str(cs) if isinstance(cs, (Name, str)) else
-                    (str(cs[0]) if isinstance(cs, list) and cs else None)),
-                "fmt": "jpeg" if codec == "DCTDecode" else "raw",
-                "content": data,
-            })
+            out.append(_image_row(doc, str(name), obj))
+            # the alpha channel of a real figure is a SEPARATE gray
+            # image hanging off the image dict's /SMask — it is not in
+            # any /Resources, so it must be emitted here
+            sref = obj.dict.get("SMask")
+            if sref is not None:
+                skey = (sref.num, sref.gen) if isinstance(sref, Ref) \
+                    else id(sref)
+                if skey not in seen:
+                    seen.add(skey)
+                    sm = doc.resolve(sref)
+                    if isinstance(sm, _Stream) \
+                            and str(sm.dict.get("Subtype")) == "Image":
+                        out.append(
+                            _image_row(doc, str(name) + ".smask", sm))
         except Exception:
             continue  # one undecodable image skips only itself
+
+
+def _image_row(doc: PdfDocument, name: str, obj: _Stream) -> dict:
+    data, codec = doc._apply_filters(obj, stop_at=("DCTDecode",))
+    cs = doc.resolve(obj.dict.get("ColorSpace"))
+    mask = doc.resolve(obj.dict.get("ImageMask")) is True
+    bits = doc.resolve(obj.dict.get("BitsPerComponent"))
+    return {
+        "name": name,
+        "width": int(doc.resolve(obj.dict.get("Width")) or 0),
+        "height": int(doc.resolve(obj.dict.get("Height")) or 0),
+        # /ImageMask true implies 1-bit stencil samples
+        "bits": int(bits) if bits is not None else (1 if mask else 8),
+        "color_space": "ImageMask" if mask else (
+            str(cs) if isinstance(cs, (Name, str)) else
+            (str(cs[0]) if isinstance(cs, list) and cs else None)),
+        "fmt": "jpeg" if codec == "DCTDecode" else "raw",
+        "content": data,
+    }
 
 
 PDF_IMAGE_SCHEMA = StructType([

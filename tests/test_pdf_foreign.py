@@ -517,6 +517,47 @@ def test_images_inside_form_xobjects_and_masks():
     assert im["fmt"] == "raw" and im["content"] == mask
 
 
+def test_smask_alpha_image_emitted():
+    """A figure's alpha channel is a separate DeviceGray image hanging
+    off the base image's /SMask — it lives in no /Resources dict, so
+    the walker must emit it from the image dict itself (matplotlib
+    writes every semi-transparent bitmap this way)."""
+    import zlib
+
+    from aisafetyintervention_literatureextraction_spark.operators.pdf import (
+        iter_page_images,
+    )
+
+    rgb = bytes((x * 11 + c) % 256 for x in range(12) for c in range(3))
+    alpha = bytes((x * 17) % 256 for x in range(12))
+    objs = simple_doc_objects(b"q 4 0 0 3 0 0 cm /ImA Do Q\n"
+                              b"BT (alpha figure) Tj ET")
+    objs[3] = objs[3][:-3] + (
+        b" /Resources << /XObject << /ImA 5 0 R >> >> >>")
+    body = zlib.compress(rgb)
+    objs[5] = (b"<< /Type /XObject /Subtype /Image /Width 4 /Height 3 "
+               b"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+               b"/SMask 6 0 R /Filter /FlateDecode /Length %d >>"
+               b"\nstream\n" % len(body)) + body + b"\nendstream"
+    sbody = zlib.compress(alpha)
+    objs[6] = (b"<< /Type /XObject /Subtype /Image /Width 4 /Height 3 "
+               b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+               b"/Filter /FlateDecode /Length %d >>\nstream\n"
+               % len(sbody)) + sbody + b"\nendstream"
+    data = build_classic(objs, TRAILER % 7)
+
+    assert extract_pdf_text(data) == "alpha figure"
+    doc = PdfDocument(data)
+    ims = {im["name"]: im for p in doc.pages()
+           for im in iter_page_images(doc, p)}
+    assert set(ims) == {"ImA", "ImA.smask"}
+    assert ims["ImA"]["content"] == rgb
+    sm = ims["ImA.smask"]
+    assert (sm["width"], sm["height"], sm["color_space"],
+            sm["bits"]) == (4, 3, "DeviceGray", 8)
+    assert sm["content"] == alpha
+
+
 def test_embedded_images_extract_spark(spark, tmp_path):
     """The distributed wrapper: binaryFile dir → one row per embedded
     image with the typed-metadata schema; encrypted PDFs decrypt the
