@@ -45,6 +45,32 @@ def pending(catalog: Catalog, stage: str, inp: DataFrame, key: str = "conv_id") 
     return inp.join(done, key, "left_anti")
 
 
+def done_ids(catalog: Catalog, stage: str) -> DataFrame | None:
+    """The stage's processed-id set (distinct conv_id), or None if no
+    state table exists yet."""
+    if not catalog.exists(STATE):
+        return None
+    return (catalog.read(STATE).filter(F.col("stage") == stage)
+            .select("conv_id").distinct())
+
+
+def pending_files(catalog: Catalog, stage: str, files: DataFrame,
+                  key: str = "doc_id") -> DataFrame:
+    """File-level twin of ``pending`` for blob-carrying scans (PDF
+    dirs): the processed side BROADCASTS so the anti-join never
+    shuffles file contents, and — because the key is the filename stem,
+    known before any decode — the skip lands upstream of the Python
+    parse. ``pending`` on the decoded output cannot do that: its key
+    only exists after mapInPandas, so a resumed run would re-parse the
+    whole corpus just to drop the rows afterwards."""
+    done = done_ids(catalog, stage)
+    if done is None:
+        return files
+    return files.join(
+        F.broadcast(done.withColumnRenamed("conv_id", key)),
+        key, "left_anti")
+
+
 def mark_processed(
     catalog: Catalog, stage: str, run_id: str, conv_ids: DataFrame, key: str = "conv_id"
 ) -> None:

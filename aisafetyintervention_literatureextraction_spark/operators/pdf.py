@@ -68,6 +68,7 @@ from typing import Iterator, Optional
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     IntegerType,
     StringType,
@@ -1578,13 +1579,19 @@ def _classify_decode_error(exc: Exception) -> str:
     return "undecodable_document"
 
 
-def decode_pdf_text(files: DataFrame) -> DataFrame:
+def decode_pdf_text(files: DataFrame, with_images: bool = False) -> DataFrame:
     """(doc_id, content) binaryFile rows → (conv_id, doc_text, n_pages)
     via Arrow-batched ``mapInPandas``; per-file decode runs where the
     bytes already are (no shuffle — the scan's file splits are the
     parallelism), and an undecodable file yields null text plus a
     classified ``decode_error`` reason instead of failing the stage
-    (quarantine-style, as in multimodal decode)."""
+    (quarantine-style, as in multimodal decode).
+
+    ``with_images=True`` adds an ``images`` array<struct> column from
+    the SAME parse — when a pipeline needs both text and embedded
+    images, one scan + one xref walk per file serves both outputs
+    instead of reading the whole corpus twice (the split into rows
+    happens relationally downstream via ``explode``)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1593,6 +1600,7 @@ def decode_pdf_text(files: DataFrame) -> DataFrame:
             titles: list[Optional[str]] = []
             authors: list[Optional[str]] = []
             errors: list[Optional[str]] = []
+            images: list[Optional[list]] = []
             for blob in pdf["content"]:
                 # compute the full row FIRST, append exactly once per
                 # file — appending inside the try would misalign the
@@ -1605,27 +1613,35 @@ def decode_pdf_text(files: DataFrame) -> DataFrame:
                         _content_text(doc.page_content(p), doc.page_fonts(p))
                         for p in pages)
                     info = doc.info()
+                    imgs = ([{"page_idx": pi, **im}
+                             for pi, page in enumerate(pages)
+                             for im in iter_page_images(doc, page)]
+                            if with_images else None)
                     row = (text, len(pages), info.get("Title"),
-                           info.get("Author"), None)
+                           info.get("Author"), None, imgs)
                 except Exception as exc:
                     row = (None, None, None, None,
-                           _classify_decode_error(exc))
+                           _classify_decode_error(exc), None)
                 texts.append(row[0])
                 npages.append(row[1])
                 titles.append(row[2])
                 authors.append(row[3])
                 errors.append(row[4])
-            yield pd.DataFrame({
+                images.append(row[5])
+            cols = {
                 "conv_id": pdf["doc_id"].astype(str),
                 "doc_text": pd.array(texts, dtype="string"),
                 "n_pages": pd.array(npages, dtype="Int32"),
                 "title": pd.array(titles, dtype="string"),
                 "author": pd.array(authors, dtype="string"),
                 "decode_error": pd.array(errors, dtype="string"),
-            })
+            }
+            if with_images:
+                cols["images"] = pd.Series(images, dtype="object")
+            yield pd.DataFrame(cols)
 
     return files.select("doc_id", "content").mapInPandas(
-        run, PDF_DOC_SCHEMA)
+        run, PDF_DOC_IMG_SCHEMA if with_images else PDF_DOC_SCHEMA)
 
 
 # ---------------------------------------------------------------------
@@ -1720,6 +1736,16 @@ PDF_IMAGE_SCHEMA = StructType([
     StructField("fmt", StringType(), True),   # jpeg | raw
     StructField("content", BinaryType(), True),
 ])
+
+# decode_pdf_text(with_images=True): text + images from ONE parse; the
+# per-image struct is PDF_IMAGE_SCHEMA minus the file id (the row
+# already carries conv_id — explode("images") restores the flat shape)
+PDF_DOC_IMG_SCHEMA = StructType(
+    PDF_DOC_SCHEMA.fields + [
+        StructField("images",
+                    ArrayType(StructType(PDF_IMAGE_SCHEMA.fields[1:])),
+                    True),
+    ])
 
 
 def extract_pdf_images(files: DataFrame) -> DataFrame:

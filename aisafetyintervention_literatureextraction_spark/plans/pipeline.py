@@ -484,40 +484,65 @@ def run_pipeline_pdfs(
     transcript pipeline's (re-running skips already-ingested stems).
     ``extract_images=True`` also lands every embedded /XObject image
     as a row in the ``images`` warehouse table (multimodal-columns
-    shape: typed metadata + binary payload; DCTDecode stays JPEG)."""
-    from ..operators.pdf import decode_pdf_text, extract_pdf_images
-    from ..sources.raw_files import read_raw_files
+    shape: typed metadata + binary payload; DCTDecode stays JPEG) —
+    from the SAME parse as the text, so the corpus is scanned once,
+    not once per output."""
+    from ..operators.pdf import decode_pdf_text
+    from ..sources.raw_files import read_raw_files, skip_processed
 
     cfg = PipelineConfig(warehouse=warehouse, **kwargs)
     cat = make_catalog(spark, warehouse, backend=cfg.catalog_backend)
     t0 = time.time()
     files = read_raw_files(spark, pdf_dir, glob=glob)
-    docs = decode_pdf_text(files).select(
-        "conv_id", F.col("n_pages").alias("n_turns"), "doc_text",
-        "title", "author",  # /Info provenance → documents → stage D
-        F.col("decode_error").alias("quarantine_reason"),
-    )
-    stage_a_ingest_documents(cat, docs, cfg)
-    stats_extra = {}
-    if extract_images:
-        run_id = ckpt.new_run_id()
-        if cfg.resume:
-            ckpt.reconcile(cat, ["images"])
-        imgs = files
-        if cfg.resume and cat.exists("images"):
-            # image extraction is per-file idempotent: skip files whose
-            # images already landed (conv_id = stem)
-            from ..sources.raw_files import skip_processed
+    doc_cols = ("conv_id", F.col("n_pages").alias("n_turns"), "doc_text",
+                "title", "author",  # /Info provenance → documents → D
+                F.col("decode_error").alias("quarantine_reason"))
 
-            imgs = skip_processed(
-                files, cat.read("images").select(
-                    F.col("conv_id").alias("doc_id")))
-        delta = caching.track(extract_pdf_images(imgs))
-        cat.append(delta, "images", run_id=run_id)
-        ckpt.mark_processed(
-            cat, "A_images", run_id, delta.select("conv_id").distinct())
-        stats_extra["n_images"] = cat.read("images").count()
-        delta.unpersist()
+    if not extract_images:
+        # the resume skip must land on the FILE scan (stem key,
+        # broadcast anti-join): stage A's own pending() anti-join keys
+        # on the mapInPandas output, which cannot push below the
+        # Python decode — without this, a resumed run re-parses the
+        # whole corpus just to drop the rows afterwards
+        src = (ckpt.pending_files(cat, "A_reassemble", files)
+               if cfg.resume else files)
+        stage_a_ingest_documents(cat, decode_pdf_text(src).select(*doc_cols),
+                                 cfg)
+        return _run_bcd_and_stats(cat, cfg, t0)
+
+    # text + images from ONE parse: a file is parsed iff it is pending
+    # for at least one of the two outputs; each output then re-filters
+    # by its own processed set, so per-output exactly-once still holds
+    # even when only one of them previously committed
+    if cfg.resume:
+        ckpt.reconcile(cat, ["images"])
+    src = files
+    if cfg.resume:
+        done_docs = ckpt.done_ids(cat, "A_reassemble")
+        done_imgs = ckpt.done_ids(cat, "A_images")
+        if done_docs is not None and done_imgs is not None:
+            src = skip_processed(
+                files, done_docs.join(done_imgs, "conv_id", "left_semi"),
+                id_col="conv_id")
+    combined = caching.track(decode_pdf_text(src, with_images=True))
+    stage_a_ingest_documents(cat, combined.select(*doc_cols), cfg)
+    img_run = ckpt.new_run_id()
+    img_src = combined
+    done_imgs = ckpt.done_ids(cat, "A_images") if cfg.resume else None
+    if done_imgs is not None:
+        img_src = combined.join(
+            F.broadcast(done_imgs), "conv_id", "left_anti")
+    delta = caching.track(
+        img_src.select("conv_id", F.explode("images").alias("im"))
+        .select("conv_id", "im.*"))
+    cat.append(delta, "images", run_id=img_run)
+    # commit point marks EVERY attempted file — including zero-image
+    # documents, which a delta-derived mark would re-parse forever
+    ckpt.mark_processed(cat, "A_images", img_run,
+                        img_src.select("conv_id").distinct())
+    stats_extra = {"n_images": cat.read("images").count()}
+    delta.unpersist()
+    combined.unpersist()
     return {**_run_bcd_and_stats(cat, cfg, t0), **stats_extra}
 
 

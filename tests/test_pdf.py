@@ -190,6 +190,54 @@ def test_pdf_dir_full_pipeline(spark, tmp_path):
     assert stats2["n_kg_edges"] == stats["n_kg_edges"]
 
 
+def test_pdf_resume_skips_before_decode_and_marks_imageless_files(
+        spark, tmp_path):
+    """Two scale contracts of the PDF resume path. (1) The skip lands
+    on the FILE scan: ``pending_files`` keys on the filename stem, so
+    the anti-join sits BELOW the Python decode in the plan — keying on
+    the mapInPandas output would re-parse the whole corpus on every
+    resume just to drop the rows afterwards. (2) With
+    ``extract_images=True``, text and images come from ONE parse, and
+    the A_images commit marks every ATTEMPTED file — a zero-image doc
+    must not be re-parsed forever just because it contributed no
+    image rows."""
+    from aisafetyintervention_literatureextraction_spark import checkpoint as ckpt
+    from aisafetyintervention_literatureextraction_spark.catalog import Catalog
+    from aisafetyintervention_literatureextraction_spark.operators.pdf import (
+        decode_pdf_text,
+    )
+    from aisafetyintervention_literatureextraction_spark.pdfgen import build_pdf
+    from aisafetyintervention_literatureextraction_spark.plans.pipeline import (
+        run_pipeline_pdfs,
+    )
+    from aisafetyintervention_literatureextraction_spark.sources.raw_files import (
+        read_raw_files,
+    )
+
+    d = tmp_path / "pdfs"
+    d.mkdir()
+    (d / "with_img.pdf").write_bytes(build_doc(1))  # embeds one image
+    (d / "no_img.pdf").write_bytes(build_pdf([["plain text only"]]))
+    wh = str(tmp_path / "wh")
+    stats = run_pipeline_pdfs(spark, str(d), wh, extract_images=True)
+    assert stats["n_images"] == 1
+    cat = Catalog(spark, wh)
+    done = {r.conv_id for r in cat.read(ckpt.STATE)
+            .filter("stage = 'A_images'").collect()}
+    assert done == {"with_img", "no_img"}  # attempted, not just emitted
+
+    # re-run: both files skip at the file level; the resumed decode
+    # plan carries the broadcast anti-join BELOW the MapInPandas
+    stats2 = run_pipeline_pdfs(spark, str(d), wh, extract_images=True)
+    assert stats2["n_images"] == 1
+    files = read_raw_files(spark, str(d), glob="*.pdf")
+    plan = decode_pdf_text(
+        ckpt.pending_files(cat, "A_reassemble", files)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "LeftAnti" in plan
+    assert plan.index("MapInPandas") < plan.index("LeftAnti")
+
+
 def test_tounicode_subset_font_decoding():
     """Subset-font reality check (scholarly PDFs): string bytes are
     PRIVATE glyph codes — garbage without the font's /ToUnicode CMap.
