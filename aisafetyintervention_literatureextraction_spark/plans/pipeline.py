@@ -475,7 +475,8 @@ def run_pipeline(
 
 def run_pipeline_pdfs(
     spark: SparkSession, pdf_dir: str, warehouse: str, glob: str = "*.pdf",
-    extract_images: bool = False, **kwargs,
+    extract_images: bool = False, modified_after: str | None = None,
+    **kwargs,
 ) -> dict:
     """The reference's own input format end-to-end: a directory of PDF
     files → binaryFile scan → stdlib text extraction (operators/pdf.py,
@@ -493,7 +494,8 @@ def run_pipeline_pdfs(
     cfg = PipelineConfig(warehouse=warehouse, **kwargs)
     cat = make_catalog(spark, warehouse, backend=cfg.catalog_backend)
     t0 = time.time()
-    files = read_raw_files(spark, pdf_dir, glob=glob)
+    files = read_raw_files(spark, pdf_dir, glob=glob,
+                           modified_after=modified_after)
     doc_cols = ("conv_id", F.col("n_pages").alias("n_turns"), "doc_text",
                 "title", "author",  # /Info provenance → documents → D
                 F.col("decode_error").alias("quarantine_reason"))
@@ -706,6 +708,12 @@ def main() -> None:
                     help="with --stream: run the delta-aware stages C+D "
                          "INSIDE the stream loop after every N "
                          "micro-batches, so kg tables converge live")
+    ap.add_argument("--modified-after", default=None,
+                    metavar="YYYY-MM-DDTHH:mm:ss",
+                    help="only ingest files modified after this local "
+                         "timestamp (listing-level high-water mark for "
+                         "resume at corpus sizes where the processed-id "
+                         "broadcast would not fit)")
     ap.add_argument("--extract-images", action="store_true",
                     help="with --pdf-dir: also land every embedded "
                          "/XObject image in the `images` warehouse "
@@ -736,6 +744,7 @@ def main() -> None:
         stats = run_pipeline_pdfs(
             spark, args.pdf_dir, args.warehouse, extract_engine=args.engine,
             extract_images=args.extract_images,
+            modified_after=args.modified_after,
         )
     elif args.stream:
         stats = run_pipeline_streaming(

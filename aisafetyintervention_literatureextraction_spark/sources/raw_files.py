@@ -38,12 +38,23 @@ def read_raw_files(
     path: str,
     glob: str = "*",
     recursive: bool = False,
+    modified_after: str | None = None,
 ) -> DataFrame:
     """Scan a directory of opaque document files into
-    (doc_id, path, n_bytes, mod_time, content)."""
+    (doc_id, path, n_bytes, mod_time, content).
+
+    ``modified_after`` (``YYYY-MM-DDTHH:mm:ss``, local TZ) pushes a
+    high-water-mark into the FILE LISTING itself — the source drops
+    older files before any split is planned or byte read.  That is the
+    resume lever that still works when the processed-id set outgrows a
+    broadcast (billions of files): combine a coarse mtime watermark
+    here with the exact stem anti-join downstream for the boundary
+    window."""
     reader = spark.read.format("binaryFile").option("pathGlobFilter", glob)
     if recursive:
         reader = reader.option("recursiveFileLookup", "true")
+    if modified_after:
+        reader = reader.option("modifiedAfter", modified_after)
     df = reader.load(path)
     return df.select(
         file_stem(F.col("path")).alias("doc_id"),

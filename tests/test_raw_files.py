@@ -56,6 +56,23 @@ def test_metadata_query_prunes_content(spark, tmp_path):
     assert read and "content" not in read[0]
 
 
+def test_modified_after_high_water_mark(spark, tmp_path):
+    """``modified_after`` pushes the resume watermark into the FILE
+    LISTING (binaryFile's modifiedAfter option): older files are
+    dropped before any split is planned or byte read — the skip that
+    still works when the processed-id set outgrows a broadcast."""
+    d = _fixture_dir(tmp_path, {"old.pdf": b"%PDF old", "new.pdf": b"%PDF new"})
+    old_ts = 1_600_000_000  # 2020-09-13
+    os.utime(os.path.join(d, "old.pdf"), (old_ts, old_ts))
+    got = {r.doc_id for r in read_raw_files(
+        spark, d, glob="*.pdf",
+        modified_after="2021-01-01T00:00:00").collect()}
+    assert got == {"new"}
+    # no watermark → both
+    assert {r.doc_id for r in read_raw_files(spark, d, glob="*.pdf")
+            .collect()} == {"new", "old"}
+
+
 def test_skip_processed_anti_join(spark, tmp_path):
     d = _fixture_dir(tmp_path, {f"p{i}.pdf": b"x" for i in range(4)})
     files = read_raw_files(spark, d, glob="*.pdf")
