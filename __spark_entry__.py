@@ -48,6 +48,11 @@ from aisafetyintervention_literatureextraction_spark.operators.similarity import
 from aisafetyintervention_literatureextraction_spark.sources.raw_files import (
     read_raw_files,
 )
+from aisafetyintervention_literatureextraction_spark.operators.graph_analytics import (
+    bfs_khop,
+    pagerank_int,
+    triangle_counts,
+)
 from aisafetyintervention_literatureextraction_spark.operators.textstats import (
     language_id,
     quality_features,
@@ -710,6 +715,104 @@ def q_kg_node_provenance(spark, sf_dir):
     )
 
 
+# ---- graph-analytics kernels over a co-purchase graph (parts that share
+# ---- an order, support >= 2 orders) — integer-exact PageRank, degree-
+# ---- oriented triangles, frontier BFS; oracles replay the same math in
+# ---- SQL (PageRank unrolled per-iteration, BFS as a recursive CTE).
+
+def _copurchase_edges(spark, sf_dir):
+    """Undirected (a, b) part pairs co-occurring in >= 2 orders —
+    deterministic market-basket graph over neutral TPC-H data."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").cast("long").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").cast("long").alias("b"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .select("a", "b")
+    )
+
+
+def q_graph_pagerank(spark, sf_dir):
+    """Integer-scaled deterministic PageRank (5 iterations, d=0.85,
+    rank × 10^9, floor division throughout) on the undirected
+    co-purchase graph — bit-exact on any engine/partitioning, so the
+    oracle unrolls the identical recurrence in SQL."""
+    return pagerank_int(_copurchase_edges(spark, sf_dir), iterations=5)
+
+
+def q_graph_triangles(spark, sf_dir):
+    """Per-vertex triangle counts + local clustering coefficient via
+    the degree-oriented wedge join (oriented out-degree bounded by
+    O(sqrt m) — celebrity-vertex-safe)."""
+    return triangle_counts(_copurchase_edges(spark, sf_dir))
+
+
+def q_graph_khop(spark, sf_dir):
+    """Frontier BFS: min-hop distance (cap 3) from the deterministic
+    seed set {node % 17 == 3}; oracle is a recursive CTE."""
+    e = _copurchase_edges(spark, sf_dir)
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("node") % 17 == 3)
+    return bfs_khop(e, seeds, max_hops=3).select(
+        "node", F.col("dist").cast("int").alias("dist")
+    )
+
+
+# shared DuckDB CTE prefix for the graph oracles (mirrors
+# _copurchase_edges + _symmetrize exactly; BIGINT keys both sides)
+_GRAPH_ED_SQL = """
+    li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    ed AS (
+      SELECT CAST(x.l_partkey AS BIGINT) AS a, CAST(y.l_partkey AS BIGINT) AS b
+      FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+                         AND x.l_partkey < y.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    sym AS (SELECT a AS src, b AS dst FROM ed UNION SELECT b, a FROM ed),
+    v AS (SELECT DISTINCT src AS node FROM sym)
+"""
+
+
+def _pagerank_oracle_sql(iterations: int = 5) -> str:
+    """Unrolled integer-PageRank recurrence — one contribution + rank
+    CTE pair per iteration, every op in BIGINT floor division (//),
+    matching operators/graph_analytics.pagerank_int exactly."""
+    scale = "1000000000::BIGINT"
+    parts = [
+        "WITH " + _GRAPH_ED_SQL + ",",
+        "nn AS (SELECT COUNT(*) AS n FROM v),",
+        "od AS (SELECT src AS node, COUNT(*) AS outdeg FROM sym GROUP BY 1),",
+        f"r0 AS (SELECT node, {scale} // (SELECT n FROM nn) AS rank_int FROM v),",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"c{i} AS (SELECT s.dst AS node,"
+            f" SUM((85::BIGINT * r.rank_int) // (100::BIGINT * o.outdeg)) AS m"
+            f" FROM sym s JOIN r{i - 1} r ON r.node = s.src"
+            f" JOIN od o ON o.node = s.src GROUP BY s.dst),"
+        )
+        parts.append(
+            f"r{i} AS (SELECT v.node,"
+            f" (15::BIGINT * {scale}) // (100::BIGINT * (SELECT n FROM nn))"
+            f" + COALESCE(c.m, 0::BIGINT) AS rank_int"
+            f" FROM v LEFT JOIN c{i} c ON c.node = v.node),"
+        )
+    # trailing comma on the last CTE: close the list with a no-op
+    parts.append("fin AS (SELECT 1)")
+    parts.append(f"SELECT node, rank_int FROM r{iterations}")
+    return "\n".join(parts)
+
+
 _RAW_FIXTURE = "/tmp/kg_raw_fixture_v1"
 
 
@@ -930,6 +1033,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s6_ard_docs": q_s6_ard_docs,
         "s1_pdf_docs": q_s1_pdf_docs,
         "s1_pdf_images": q_s1_pdf_images,
+        "graph_pagerank": q_graph_pagerank,
+        "graph_triangles": q_graph_triangles,
+        "graph_khop": q_graph_khop,
     }
 
 
@@ -1430,5 +1536,45 @@ def oracle_sql() -> dict[str, str]:
                      content
               FROM read_blob('{_PDF_FIXTURE}/expected_images/*.bin')
             )
+        """,
+        # integer-exact PageRank: the oracle unrolls the identical
+        # scaled-int64 recurrence, one CTE pair per iteration
+        "graph_pagerank": _pagerank_oracle_sql(5),
+        "graph_triangles": f"""
+            WITH {_GRAPH_ED_SQL},
+            deg AS (SELECT src AS node, COUNT(*) AS degree FROM sym GROUP BY 1),
+            tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM ed e1
+              JOIN ed e2 ON e2.a = e1.b
+              JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            pn AS (
+              SELECT node, COUNT(*) AS triangles FROM (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+              ) GROUP BY node
+            )
+            SELECT d.node, d.degree,
+                   COALESCE(p.triangles, 0::BIGINT) AS triangles,
+                   CASE WHEN d.degree < 2 THEN 0.0
+                        ELSE ROUND(2.0 * COALESCE(p.triangles, 0)
+                                   / (d.degree * (d.degree - 1)), 6)
+                   END AS clustering
+            FROM deg d LEFT JOIN pn p ON p.node = d.node
+        """,
+        "graph_khop": f"""
+            WITH RECURSIVE {_GRAPH_ED_SQL},
+            seeds AS (SELECT node FROM v WHERE node % 17 = 3),
+            walk(node, dist) AS (
+              SELECT node, 0 FROM seeds
+              UNION
+              SELECT s.dst, w.dist + 1
+              FROM walk w JOIN sym s ON s.src = w.node
+              WHERE w.dist < 3
+            )
+            SELECT node, CAST(MIN(dist) AS INTEGER) AS dist
+            FROM walk GROUP BY node
         """,
     }

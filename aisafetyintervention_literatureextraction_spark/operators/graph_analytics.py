@@ -1,0 +1,277 @@
+"""Graph analytics over the constructed KG — beyond-reference ops.
+
+The reference stops at graph *construction* (db.py upserts into
+FalkorDB and leaves analysis to Cypher).  A 100 TB training-data
+pipeline needs the analysis side too: which entities are central
+(PageRank), how clustered the mention graph is (triangles /
+clustering coefficient), and what sits within k hops of a seed set
+(BFS).  These are the classic distributed-graph kernels, implemented
+Spark-first as iterative hash-joins — the same execution shape the
+north rule prescribes for connected components.
+
+Scale design notes (shared by all three kernels):
+
+- **Integer-exact math.**  ``pagerank_int`` runs entirely in scaled
+  int64 arithmetic (rank × 10^9, floor division), so results are
+  bit-identical regardless of partitioning, reduce order, or engine —
+  float PageRank is order-dependent under distributed summation and
+  can never be oracle-checked exactly.
+- **Iteration hygiene.**  Every loop uses the
+  persist → count → localCheckpoint → unpersist sandwich from
+  operators/components.py:111-124 — localCheckpoint alone preserves
+  origin-plan Catalyst stats whose sizeInBytes estimates compound
+  through iterative self-joins until the driver stalls in
+  BigInteger math (the r4 scale bug).
+- **Static structure cached once.**  Edges / out-degree contributions
+  are checkpointed before the loop; per-iteration shuffles move only
+  the rank/frontier relation, not the edge list's lineage.
+- **Degree-oriented triangle join.**  Edges are oriented from the
+  (degree, id)-smaller endpoint to the larger before the wedge join,
+  the standard MR-triangle-counting trick: the wedge fan-out per
+  vertex is bounded by its *oriented* out-degree, O(sqrt(m)) on any
+  graph, so one celebrity vertex cannot blow up the shuffle the way
+  a naive neighbor self-join would.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 10**9  # rank fixed-point scale: rank 1.0 == 10^9
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    """(a, b) undirected edge list → distinct directed (src, dst)
+    both ways, self-loops dropped."""
+    e = edges.select(F.col("a").cast("long").alias("a"),
+                     F.col("b").cast("long").alias("b")).filter("a <> b")
+    return (
+        e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+    )
+
+
+def pagerank_int(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping_pct: int = 85,
+    directed: bool = False,
+) -> DataFrame:
+    """Deterministic fixed-point PageRank: ``iterations`` rounds of
+
+        rank'(v) = (100-d)*SCALE DIV (100*n)
+                 + sum over in-neighbors u of  d*rank(u) DIV (100*outdeg(u))
+
+    with every operation in int64 (DIV = floor division), so the
+    result is exact and engine/partitioning-independent.  Mass lost to
+    floor rounding is deliberate — determinism over normalization.
+    Dangling mass is likewise dropped (irrelevant for undirected
+    graphs, where every vertex in an edge has outdeg ≥ 1).
+
+    Input: ``edges(a, b)`` int-keyed pairs; undirected by default
+    (each edge walks both ways).  Returns ``(node, rank_int)`` over
+    every vertex incident to an edge.
+
+    Overflow headroom: total mass ≤ n · SCALE/n = SCALE, so
+    d·rank(u) ≤ 85 · 10^9 ≪ 2^63.
+    """
+    if directed:
+        sym = (
+            edges.select(F.col("a").cast("long").alias("src"),
+                         F.col("b").cast("long").alias("dst"))
+            .filter("src <> dst").distinct()
+        )
+    else:
+        sym = _symmetrize(edges)
+    sym = sym.localCheckpoint(eager=True)
+
+    vertices = (
+        sym.select(F.col("src").alias("node"))
+        .union(sym.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = vertices.count()
+    if n == 0:
+        return vertices.select("node", F.lit(0).cast("long").alias("rank_int"))
+
+    outdeg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("outdeg")
+    )
+    # static per-edge structure: (src, dst, outdeg(src)) — cached once,
+    # per-iteration joins touch only the rank relation
+    struct = (
+        sym.join(outdeg, sym.src == outdeg.node)
+        .select("src", "dst", "outdeg")
+        .localCheckpoint(eager=True)
+    )
+
+    teleport = ((100 - damping_pct) * PR_SCALE) // (100 * n)
+    ranks = vertices.select(
+        "node", F.lit(PR_SCALE // n).cast("long").alias("rank_int")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(iterations):
+        contrib = (
+            struct.join(ranks, struct.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"({damping_pct} * rank_int) DIV (100 * outdeg)")
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        new_ranks = (
+            vertices.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(teleport).cast("long")
+                 + F.coalesce(F.col("in_mass"), F.lit(0).cast("long"))
+                 ).alias("rank_int"),
+            )
+        )
+        # stats-explosion guard (components.py:111-124)
+        cached = new_ranks.persist()
+        cached.count()
+        ranks = cached.localCheckpoint(eager=True)
+        cached.unpersist()
+    return ranks
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-vertex triangle participation + degree + local clustering
+    coefficient over an undirected simple graph ``edges(a, b)``.
+
+    Degree-oriented wedge join: orient every edge low→high by
+    (degree, id); wedges (u→v, u→w) with v<w (orientation order) close
+    into a triangle iff oriented edge (v→w) exists.  Each triangle is
+    found exactly once.  Returns
+    ``(node, degree, triangles, clustering)`` — clustering is the
+    integer-derived ratio 2·tri / (deg·(deg−1)) rounded to 6 places
+    (0.0 when deg < 2), which is a single float division of exact
+    ints on any engine.
+    """
+    e = (
+        edges.select(
+            F.least(F.col("a").cast("long"), F.col("b").cast("long")).alias("a"),
+            F.greatest(F.col("a").cast("long"), F.col("b").cast("long")).alias("b"),
+        )
+        .filter("a <> b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+        .localCheckpoint(eager=True)
+    )
+    # orient low→high by (degree, id): bounded oriented out-degree
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("degb"))
+    oriented = (
+        e.join(da, "a").join(db, "b")
+        .select(
+            F.when(
+                (F.col("dega") < F.col("degb"))
+                | ((F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+            )
+            .otherwise(F.struct(F.col("b").alias("src"), F.col("a").alias("dst")))
+            .alias("o")
+        )
+        .select("o.src", "o.dst")
+        .localCheckpoint(eager=True)
+    )
+    e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    e2 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    closer = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    triangles = (
+        e1.join(e2, "u")
+        .filter(
+            # order wedge endpoints by the same orientation key so each
+            # wedge appears once; the key is (deg, id) but comparing
+            # oriented ids directly is NOT safe under degree ties, so we
+            # canonicalize by plain id and probe both closing directions
+            F.col("v") < F.col("w")
+        )
+        .join(
+            closer.select("v", "w").union(
+                closer.select(F.col("w").alias("v"), F.col("v").alias("w"))
+            ),
+            ["v", "w"],
+            "leftsemi",
+        )
+        .select("u", "v", "w")
+    )
+    per_node = (
+        triangles.select(F.col("u").alias("node"))
+        .union(triangles.select(F.col("v").alias("node")))
+        .union(triangles.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+        )
+        .withColumn(
+            "clustering",
+            F.when(
+                F.col("degree") < 2, F.lit(0.0)
+            ).otherwise(
+                F.round(
+                    2.0 * F.col("triangles")
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                    6,
+                )
+            ),
+        )
+    )
+
+
+def bfs_khop(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+) -> DataFrame:
+    """Minimum-hop distance from a seed set, capped at ``max_hops``:
+    classic frontier BFS as ``max_hops`` hash-join rounds.  Returns
+    ``(node, dist)`` for every vertex reachable within the cap
+    (seeds at dist 0).  ``seeds`` must have a ``node`` column.
+
+    Each round joins only the *frontier* (nodes first reached last
+    round) against the edge list and anti-joins the visited set, so
+    per-round shuffle volume tracks the frontier size, not the graph.
+    """
+    sym = _symmetrize(edges).localCheckpoint(eager=True)
+    visited = (
+        seeds.select(F.col("node").cast("long").alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            sym.join(frontier, sym.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+        )
+        cached = nxt.persist()
+        n_new = cached.count()
+        frontier = cached.localCheckpoint(eager=True)
+        cached.unpersist()
+        if n_new == 0:
+            break
+        visited = visited.union(frontier).localCheckpoint(eager=True)
+    return visited

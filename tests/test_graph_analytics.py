@@ -1,0 +1,230 @@
+"""Graph-analytics kernels vs independent pure-Python references.
+
+The Spark implementations (operators/graph_analytics.py) are iterative
+hash-joins; these tests recompute PageRank / triangles / BFS with
+plain dicts and sets on the same edge lists — a second implementation,
+not a round-trip — and also pin determinism under permutation and
+partitioning changes.
+"""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+from pyspark.sql import functions as F
+
+from aisafetyintervention_literatureextraction_spark.operators.graph_analytics import (
+    PR_SCALE,
+    bfs_khop,
+    pagerank_int,
+    triangle_counts,
+)
+
+
+def _edges_df(spark, pairs, parts=5):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "a long, b long"
+    ).repartition(parts)
+
+
+# ---------------------------------------------------------------- references
+
+def ref_pagerank(pairs, iterations=5, damping_pct=85, directed=False):
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        if not directed:
+            adj.setdefault(b, set()).add(a)
+    nodes = set(adj)
+    for outs in adj.values():
+        nodes |= outs
+    n = len(nodes)
+    if n == 0:
+        return {}
+    teleport = ((100 - damping_pct) * PR_SCALE) // (100 * n)
+    rank = {v: PR_SCALE // n for v in nodes}
+    for _ in range(iterations):
+        mass = {v: 0 for v in nodes}
+        for u, outs in adj.items():
+            c = (damping_pct * rank[u]) // (100 * len(outs))
+            for v in outs:
+                mass[v] += c
+        rank = {v: teleport + mass[v] for v in nodes}
+    return rank
+
+
+def ref_triangles(pairs):
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {v: 0 for v in adj}
+    for v, nbrs in adj.items():
+        for x, y in itertools.combinations(sorted(nbrs), 2):
+            if y in adj[x]:
+                tri[v] += 1
+    # each triangle counted once per vertex (v is the apex of the pair)
+    out = {}
+    for v, nbrs in adj.items():
+        d = len(nbrs)
+        t = tri[v]
+        coeff = 0.0 if d < 2 else round(2.0 * t / (d * (d - 1)), 6)
+        out[v] = (d, t, coeff)
+    return out
+
+
+def ref_bfs(pairs, seeds, max_hops):
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for hop in range(1, max_hops + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    nxt.add(v)
+        for v in nxt:
+            dist[v] = hop
+        frontier = nxt
+        if not frontier:
+            break
+    return dist
+
+
+def _random_graph(seed, n=40, m=120):
+    rng = random.Random(seed)
+    pairs = set()
+    while len(pairs) < m:
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    return sorted(pairs)
+
+
+# --------------------------------------------------------------------- tests
+
+def test_pagerank_matches_reference(spark):
+    pairs = _random_graph(7)
+    got = {
+        r["node"]: r["rank_int"]
+        for r in pagerank_int(_edges_df(spark, pairs), iterations=5).collect()
+    }
+    assert got == ref_pagerank(pairs, iterations=5)
+
+
+def test_pagerank_directed_star(spark):
+    # 1->0, 2->0, 3->0: all mass flows to 0; 1..3 keep only teleport
+    pairs = [(1, 0), (2, 0), (3, 0)]
+    got = {
+        r["node"]: r["rank_int"]
+        for r in pagerank_int(
+            _edges_df(spark, pairs), iterations=3, directed=True
+        ).collect()
+    }
+    assert got == ref_pagerank(pairs, iterations=3, directed=True)
+    assert got[0] > got[1] == got[2] == got[3]
+
+
+def test_pagerank_permutation_and_partition_invariant(spark):
+    pairs = _random_graph(11)
+    base = sorted(pagerank_int(_edges_df(spark, pairs, parts=2),
+                               iterations=4).collect())
+    rng = random.Random(3)
+    shuffled = pairs[:]
+    rng.shuffle(shuffled)
+    flipped = [(b, a) for a, b in shuffled]  # undirected: orientation-free
+    again = sorted(pagerank_int(_edges_df(spark, flipped, parts=9),
+                                iterations=4).collect())
+    assert base == again
+
+
+def test_pagerank_mass_conservation_bound(spark):
+    # floor rounding only ever LOSES mass: total ≤ SCALE, and within
+    # n·(teleport rounding + per-edge rounding) of it
+    pairs = _random_graph(23)
+    ranks = pagerank_int(_edges_df(spark, pairs), iterations=6)
+    total = ranks.agg(F.sum("rank_int")).collect()[0][0]
+    n = ranks.count()
+    assert total <= PR_SCALE
+    assert total >= PR_SCALE - n * (n + 200)  # generous floor-loss bound
+
+
+def test_triangles_k4_and_house(spark):
+    # K4: every vertex has degree 3 and sits in 3 triangles, coeff 1.0
+    k4 = list(itertools.combinations(range(4), 2))
+    rows = {r["node"]: r for r in triangle_counts(_edges_df(spark, k4)).collect()}
+    for v in range(4):
+        assert (rows[v]["degree"], rows[v]["triangles"], rows[v]["clustering"]) == (3, 3, 1.0)
+
+    # house: square 0-1-2-3 plus roof vertex 4 on edge 2-3
+    house = [(0, 1), (1, 2), (2, 3), (3, 0), (2, 4), (3, 4)]
+    got = {
+        r["node"]: (r["degree"], r["triangles"], r["clustering"])
+        for r in triangle_counts(_edges_df(spark, house)).collect()
+    }
+    expect = ref_triangles(house)
+    assert got == expect
+    assert got[4] == (2, 1, 1.0)
+    assert got[0] == (2, 0, 0.0)
+
+
+def test_triangles_match_reference_random(spark):
+    pairs = _random_graph(5, n=30, m=140)  # dense enough for many triangles
+    got = {
+        r["node"]: (r["degree"], r["triangles"], r["clustering"])
+        for r in triangle_counts(_edges_df(spark, pairs)).collect()
+    }
+    assert got == ref_triangles(pairs)
+    assert sum(t for _, t, _ in got.values()) % 3 == 0  # 3 vertices/triangle
+
+
+def test_triangles_degree_tie_correctness(spark):
+    # regular graphs are all-ties in the degree orientation — the
+    # id-fallback ordering must still find each triangle exactly once.
+    # 6-cycle with long chords: 0-1-2-3-4-5-0 plus 0-2, 2-4, 4-0
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 0),
+             (0, 2), (2, 4), (4, 0)]
+    got = {
+        r["node"]: (r["degree"], r["triangles"])
+        for r in triangle_counts(_edges_df(spark, pairs)).collect()
+    }
+    ref = {v: (d, t) for v, (d, t, _) in ref_triangles(pairs).items()}
+    assert got == ref
+
+
+def test_bfs_khop_chain_and_cap(spark):
+    chain = [(i, i + 1) for i in range(8)]
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["dist"]
+           for r in bfs_khop(_edges_df(spark, chain), seeds, max_hops=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}  # cap stops the walk
+
+
+def test_bfs_khop_matches_reference_random(spark):
+    pairs = _random_graph(13)
+    seed_nodes = [v for v in range(40) if v % 7 == 2]
+    seeds = spark.createDataFrame([(v,) for v in seed_nodes], "node long")
+    got = {r["node"]: r["dist"]
+           for r in bfs_khop(_edges_df(spark, pairs), seeds, max_hops=2).collect()}
+    assert got == ref_bfs(pairs, seed_nodes, 2)
+
+
+def test_bfs_min_distance_on_cycle(spark):
+    # two seeds on a cycle: every node takes the NEARER seed's distance
+    n = 10
+    cyc = [(i, (i + 1) % n) for i in range(n)]
+    seeds = spark.createDataFrame([(0,), (5,)], "node long")
+    got = {r["node"]: r["dist"]
+           for r in bfs_khop(_edges_df(spark, cyc), seeds, max_hops=4).collect()}
+    assert got == ref_bfs(cyc, [0, 5], 4)
+    assert got[2] == 2 and got[3] == 2  # 3 is 2 away from 5, not 3 from 0
