@@ -59,6 +59,7 @@ class PipelineConfig:
     resume: bool = True
     allow_gaps: bool = False               # sparse turn indices OK (no quarantine)
     catalog_backend: str = "auto"          # "auto" | "manifest" | "iceberg"
+    analytics: bool = False                # stage E: kg_node_metrics table
 
 
 def stage_a_reassemble(cat: Catalog, transcripts: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -442,6 +443,60 @@ def stage_d_materialize(cat: Catalog, cfg: PipelineConfig):
     return g
 
 
+def stage_e_analytics(cat: Catalog, cfg: PipelineConfig):
+    """Optional stage E — graph analytics over the materialized KG:
+    one ``kg_node_metrics`` row per kg_node with integer-exact
+    PageRank centrality, degree, triangle count, and local clustering
+    coefficient (operators/graph_analytics.py).  The edge basis is the
+    undirected distinct (src, dst) pair set of kg_edges — pred
+    multiplicity deliberately does not inflate centrality.
+
+    Like stage D it is a pure recompute from the graph tables, so the
+    commit contract is the same: a single run_id-tagged overwrite with
+    a sentinel state row; a crash between the overwrite and the
+    sentinel rolls back on resume via reconcile_versions."""
+    from ..operators.graph_analytics import pagerank_int, triangle_counts
+
+    run_id = ckpt.new_run_id()
+    t0 = time.time()
+    if cfg.resume:
+        ckpt.reconcile_versions(cat, ["kg_node_metrics"])
+    edges = (
+        cat.read("kg_edges")
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    edges = caching.track(edges)  # two kernels, one shuffle of the basis
+    pr = pagerank_int(edges, iterations=5)
+    tri = triangle_counts(edges)
+    metrics = (
+        cat.read("kg_nodes")
+        .select(F.col("node_id"))
+        .join(pr.withColumnRenamed("node", "node_id"), "node_id", "left")
+        .join(tri.withColumnRenamed("node", "node_id"), "node_id", "left")
+        .select(
+            "node_id",
+            # isolated nodes: no rank mass flows anywhere — 0 metrics
+            F.coalesce("rank_int", F.lit(0)).cast("long").alias("pagerank_int"),
+            F.coalesce("degree", F.lit(0)).cast("long").alias("degree"),
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            F.coalesce("clustering", F.lit(0.0)).alias("clustering"),
+        )
+    )
+    cat.overwrite(metrics, "kg_node_metrics", run_id=run_id)
+    ckpt.mark_processed(
+        cat, "E_analytics", run_id,
+        cat.spark.createDataFrame([("__all__",)], "conv_id string"),
+    )
+    ckpt.write_metrics(cat, "E_analytics", run_id, {
+        "n_nodes_scored": cat.read("kg_node_metrics").count(),
+        "wall_s": time.time() - t0,
+    })
+
+
 def run_pipeline(
     spark: SparkSession, transcripts: DataFrame, warehouse: str, **kwargs
 ) -> dict:
@@ -454,6 +509,8 @@ def run_pipeline(
     stage_b_extract(cat, cfg)
     stage_c_canonicalize(cat, cfg)
     stage_d_materialize(cat, cfg)
+    if cfg.analytics:
+        stage_e_analytics(cat, cfg)
     # table maintenance: bound manifest growth on the append-heavy
     # bookkeeping tables (amortized — fires once per ~64 commits);
     # vacuum reclaims the superseded commit dirs past a 4-version
@@ -554,6 +611,8 @@ def _run_bcd_and_stats(cat: Catalog, cfg: PipelineConfig, t0: float) -> dict:
     stage_b_extract(cat, cfg)
     stage_c_canonicalize(cat, cfg)
     stage_d_materialize(cat, cfg)
+    if cfg.analytics:
+        stage_e_analytics(cat, cfg)
     for t in (ckpt.STATE, ckpt.LINEAGE, ckpt.METRICS):
         if cat.maybe_compact(t):
             cat.vacuum(t, keep_versions=4)
@@ -597,6 +656,8 @@ def _finish_stream_and_stats(cat: Catalog, cfg: PipelineConfig, t0: float,
     if not state.get("cd_on_last"):
         stage_c_canonicalize(cat, cfg)
         stage_d_materialize(cat, cfg)
+    if cfg.analytics:
+        stage_e_analytics(cat, cfg)
     caching.release_caches()
     wall = time.time() - t0
     n_triples = cat.read("triples_raw").count()
@@ -718,6 +779,11 @@ def main() -> None:
                     help="with --pdf-dir: also land every embedded "
                          "/XObject image in the `images` warehouse "
                          "table (typed metadata + binary payload)")
+    ap.add_argument("--analytics", action="store_true",
+                    help="after materialization, score every kg_node "
+                         "with PageRank centrality / triangles / "
+                         "clustering into the kg_node_metrics table "
+                         "(stage E)")
     ap.add_argument("--export-cypher", metavar="DIR", default=None,
                     help="after the run, write the graph as an "
                          "idempotent Cypher MERGE script (nodes/ then "
@@ -729,34 +795,40 @@ def main() -> None:
     if args.ard and args.stream:
         stats = run_pipeline_ard_streaming(
             spark, args.ard, args.warehouse,
-            cd_every=args.cd_every, extract_engine=args.engine
+            cd_every=args.cd_every, extract_engine=args.engine,
+            analytics=args.analytics,
         )
     elif args.ard:
         stats = run_pipeline_ard(
-            spark, args.ard, args.warehouse, extract_engine=args.engine
+            spark, args.ard, args.warehouse, extract_engine=args.engine,
+            analytics=args.analytics,
         )
     elif args.pdf_dir and args.stream:
         stats = run_pipeline_pdfs_streaming(
             spark, args.pdf_dir, args.warehouse,
-            cd_every=args.cd_every, extract_engine=args.engine
+            cd_every=args.cd_every, extract_engine=args.engine,
+            analytics=args.analytics,
         )
     elif args.pdf_dir:
         stats = run_pipeline_pdfs(
             spark, args.pdf_dir, args.warehouse, extract_engine=args.engine,
             extract_images=args.extract_images,
             modified_after=args.modified_after,
+            analytics=args.analytics,
         )
     elif args.stream:
         stats = run_pipeline_streaming(
             spark, args.transcripts, args.warehouse,
-            cd_every=args.cd_every, extract_engine=args.engine
+            cd_every=args.cd_every, extract_engine=args.engine,
+            analytics=args.analytics,
         )
     else:
         from ..sources.transcripts import read_transcripts
 
         transcripts = read_transcripts(spark, args.transcripts)
         stats = run_pipeline(
-            spark, transcripts, args.warehouse, extract_engine=args.engine
+            spark, transcripts, args.warehouse, extract_engine=args.engine,
+            analytics=args.analytics,
         )
     if args.export_cypher:
         from ..operators.export import export_cypher

@@ -228,3 +228,50 @@ def test_bfs_min_distance_on_cycle(spark):
            for r in bfs_khop(_edges_df(spark, cyc), seeds, max_hops=4).collect()}
     assert got == ref_bfs(cyc, [0, 5], 4)
     assert got[2] == 2 and got[3] == 2  # 3 is 2 away from 5, not 3 from 0
+
+
+def test_stage_e_kg_node_metrics(spark, corpus, warehouse):
+    """--analytics lands kg_node_metrics: one row per kg_node, metrics
+    equal to running the kernels directly on the undirected kg_edges
+    pair set, isolated nodes all-zero, and the table version stable
+    under an idempotent re-run."""
+    from aisafetyintervention_literatureextraction_spark.catalog import Catalog
+    from aisafetyintervention_literatureextraction_spark.plans.pipeline import (
+        run_pipeline,
+    )
+
+    df, _ = corpus
+    run_pipeline(spark, df, warehouse, analytics=True)
+    cat = Catalog(spark, warehouse)
+    nodes = cat.read("kg_nodes")
+    metrics = cat.read("kg_node_metrics")
+    assert metrics.count() == nodes.count()
+    assert set(metrics.columns) == {
+        "node_id", "pagerank_int", "degree", "triangles", "clustering"}
+
+    pairs = [
+        (r["a"], r["b"])
+        for r in cat.read("kg_edges")
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
+        .distinct().collect()
+    ]
+    pr = ref_pagerank(pairs, iterations=5)
+    tri = ref_triangles(pairs)
+    got = {r["node_id"]: r for r in metrics.collect()}
+    for v, rank in pr.items():
+        assert got[v]["pagerank_int"] == rank
+    for v, (d, t, c) in tri.items():
+        assert (got[v]["degree"], got[v]["triangles"], got[v]["clustering"]) == (d, t, c)
+    connected = set(pr)
+    for v, r in got.items():
+        if v not in connected:
+            assert (r["pagerank_int"], r["degree"], r["triangles"],
+                    r["clustering"]) == (0, 0, 0, 0.0)
+
+    # idempotent resume: same rows, and stage E re-commits atomically
+    before = sorted(map(tuple, metrics.collect()))
+    run_pipeline(spark, df, warehouse, analytics=True)
+    after = sorted(map(tuple, Catalog(spark, warehouse)
+                       .read("kg_node_metrics").collect()))
+    assert before == after
