@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .graph_analytics import PR_SCALE
+
 
 def cypher_str(col: Column) -> Column:
     """The reference's ``lit()`` for strings as a column expression:
@@ -94,6 +96,25 @@ def cypher_node_statements(nodes: DataFrame) -> DataFrame:
             F.lit(", n.source_titles = "),
             cypher_str_array(F.col("source_titles")),
         ]
+    if "pagerank_int" in nodes.columns:
+        # stage-E metrics (joined in export_cypher when the table
+        # exists): pagerank exported at its human scale (rank 1.0 ==
+        # 10^9); the 9-decimal format_string is exact for the scaled
+        # int, so loaders see a stable float literal
+        pr = F.when(F.col("pagerank_int").isNull(), F.lit("NULL")).otherwise(
+            F.format_string(
+                "%d.%09d",
+                F.expr(f"pagerank_int DIV {PR_SCALE}"),
+                F.col("pagerank_int") % F.lit(PR_SCALE),
+            )
+        )
+        parts += [
+            F.lit(", n.pagerank = "), pr,
+            F.lit(", n.degree = "),
+            F.coalesce(F.col("degree").cast("string"), F.lit("NULL")),
+            F.lit(", n.triangles = "),
+            F.coalesce(F.col("triangles").cast("string"), F.lit("NULL")),
+        ]
     return nodes.select(F.concat(*parts, F.lit(";")).alias("stmt"))
 
 
@@ -125,7 +146,15 @@ def export_cypher(catalog, out_dir: str) -> dict:
     from pyspark.sql import Observation
 
     obs_n, obs_e = Observation("nodes"), Observation("edges")
-    nodes = cypher_node_statements(catalog.read("kg_nodes")).observe(
+    kg_nodes = catalog.read("kg_nodes")
+    if catalog.exists("kg_node_metrics"):
+        # stage-E centrality rides along as node properties (left join:
+        # metrics are total over kg_nodes by construction, but a
+        # warehouse mid-upgrade must not drop nodes)
+        kg_nodes = kg_nodes.join(
+            catalog.read("kg_node_metrics"), "node_id", "left"
+        )
+    nodes = cypher_node_statements(kg_nodes).observe(
         obs_n, F.count(F.lit(1)).alias("n")
     )
     edges = cypher_edge_statements(catalog.read("kg_edges")).observe(

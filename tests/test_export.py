@@ -74,3 +74,46 @@ def test_export_cypher_end_to_end(spark, corpus, warehouse, tmp_path):
         for r in spark.read.text(str(tmp_path / "cypher") + "/nodes").collect()
     ]
     assert all(s.startswith("MERGE (n:") and s.endswith(";") for s in stmts)
+
+
+def test_node_statement_metrics_properties(spark):
+    """Stage-E metrics columns render as numeric node properties; the
+    pagerank fixed-point int prints at human scale with 9 exact
+    decimals, and a null-metrics row (warehouse mid-upgrade) degrades
+    to NULL properties instead of a null statement."""
+    nodes = spark.createDataFrame(
+        [
+            ("n1", "Concept", "x", None, None, 1, 24417345, 4, 2, 0.333333),
+            ("n2", "Concept", "y", None, None, 1, None, None, None, None),
+        ],
+        "node_id string, type string, canonical_name string, "
+        "aliases array<string>, description string, n_merged int, "
+        "pagerank_int long, degree long, triangles long, clustering double",
+    )
+    out = {r["stmt"] for r in cypher_node_statements(nodes).collect()}
+    assert any(
+        "n.pagerank = 0.024417345, n.degree = 4, n.triangles = 2;" in s
+        for s in out
+    ), out
+    assert any(
+        "n.pagerank = NULL, n.degree = NULL, n.triangles = NULL;" in s
+        for s in out
+    ), out
+
+
+def test_export_cypher_includes_metrics_when_table_exists(spark, corpus,
+                                                          warehouse, tmp_path):
+    from aisafetyintervention_literatureextraction_spark.catalog import Catalog
+    from aisafetyintervention_literatureextraction_spark.plans.pipeline import (
+        run_pipeline,
+    )
+
+    df, _ = corpus
+    run_pipeline(spark, df, warehouse, analytics=True)
+    out = str(tmp_path / "cy")
+    stats = export_cypher(Catalog(spark, warehouse), out)
+    lines = [r["value"]
+             for r in spark.read.text(f"{out}/nodes").collect()]
+    assert stats["n_node_statements"] == len(lines)
+    assert all("n.pagerank = " in ln for ln in lines)
+    assert not any("n.pagerank = NULL" in ln for ln in lines)
