@@ -720,22 +720,26 @@ def q_kg_node_provenance(spark, sf_dir):
 # ---- oriented triangles, frontier BFS; oracles replay the same math in
 # ---- SQL (PageRank unrolled per-iteration, BFS as a recursive CTE).
 
-def _copurchase_edges(spark, sf_dir):
+def _copurchase_edges(spark, sf_dir, weighted=False):
     """Undirected (a, b) part pairs co-occurring in >= 2 orders —
-    deterministic market-basket graph over neutral TPC-H data."""
+    deterministic market-basket graph over neutral TPC-H data.  With
+    ``weighted`` the co-occurrence count rides along as ``w`` (the
+    analog of the KG's per-edge evidence count)."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a = li.select(F.col("l_orderkey").alias("ok"),
                   F.col("l_partkey").cast("long").alias("a"))
     b = li.select(F.col("l_orderkey").alias("ok"),
                   F.col("l_partkey").cast("long").alias("b"))
-    return (
+    e = (
         a.join(b, "ok")
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count("*").alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
-        .select("a", "b")
     )
+    if weighted:
+        return e.select("a", "b", F.col("n_orders").alias("w"))
+    return e.select("a", "b")
 
 
 def q_graph_pagerank(spark, sf_dir):
@@ -744,6 +748,18 @@ def q_graph_pagerank(spark, sf_dir):
     co-purchase graph — bit-exact on any engine/partitioning, so the
     oracle unrolls the identical recurrence in SQL."""
     return pagerank_int(_copurchase_edges(spark, sf_dir), iterations=5)
+
+
+def q_graph_pagerank_weighted(spark, sf_dir):
+    """Evidence-weighted PageRank: each co-purchase edge carries its
+    co-occurrence count, so an edge seen in 5 orders moves 5x the
+    rank mass of a once-seen edge — the weighted recurrence stays
+    integer-exact (w/W_out shares, floor division), so the oracle
+    unrolls it in BIGINT SQL like the unweighted query."""
+    return pagerank_int(
+        _copurchase_edges(spark, sf_dir, weighted=True),
+        iterations=5, weight="w",
+    )
 
 
 def q_graph_triangles(spark, sf_dir):
@@ -808,6 +824,48 @@ def _pagerank_oracle_sql(iterations: int = 5) -> str:
             f" FROM v LEFT JOIN c{i} c ON c.node = v.node),"
         )
     # trailing comma on the last CTE: close the list with a no-op
+    parts.append("fin AS (SELECT 1)")
+    parts.append(f"SELECT node, rank_int FROM r{iterations}")
+    return "\n".join(parts)
+
+
+def _pagerank_weighted_oracle_sql(iterations: int = 5) -> str:
+    """Weighted unrolled recurrence: the ed CTE's co-occurrence count
+    becomes the edge weight (clamped at 10^8 like
+    graph_analytics.WEIGHT_CAP), W_out replaces outdeg, and each
+    contribution is (85·rank·w) // (100·W_out) — all BIGINT."""
+    scale = "1000000000::BIGINT"
+    parts = [
+        """WITH
+    li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edw AS (
+      SELECT CAST(x.l_partkey AS BIGINT) AS a, CAST(y.l_partkey AS BIGINT) AS b,
+             LEAST(COUNT(*), 100000000)::BIGINT AS w
+      FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+                         AND x.l_partkey < y.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    sym AS (SELECT a AS src, b AS dst, w FROM edw
+            UNION ALL SELECT b, a, w FROM edw),
+    v AS (SELECT DISTINCT src AS node FROM sym),""",
+        "nn AS (SELECT COUNT(*) AS n FROM v),",
+        "od AS (SELECT src AS node, SUM(w) AS outdeg FROM sym GROUP BY 1),",
+        f"r0 AS (SELECT node, {scale} // (SELECT n FROM nn) AS rank_int FROM v),",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"c{i} AS (SELECT s.dst AS node,"
+            f" SUM((85::BIGINT * r.rank_int * s.w)"
+            f" // (100::BIGINT * o.outdeg)) AS m"
+            f" FROM sym s JOIN r{i - 1} r ON r.node = s.src"
+            f" JOIN od o ON o.node = s.src GROUP BY s.dst),"
+        )
+        parts.append(
+            f"r{i} AS (SELECT v.node,"
+            f" (15::BIGINT * {scale}) // (100::BIGINT * (SELECT n FROM nn))"
+            f" + COALESCE(c.m, 0::BIGINT) AS rank_int"
+            f" FROM v LEFT JOIN c{i} c ON c.node = v.node),"
+        )
     parts.append("fin AS (SELECT 1)")
     parts.append(f"SELECT node, rank_int FROM r{iterations}")
     return "\n".join(parts)
@@ -1034,6 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s1_pdf_docs": q_s1_pdf_docs,
         "s1_pdf_images": q_s1_pdf_images,
         "graph_pagerank": q_graph_pagerank,
+        "graph_pagerank_weighted": q_graph_pagerank_weighted,
         "graph_triangles": q_graph_triangles,
         "graph_khop": q_graph_khop,
     }
@@ -1540,6 +1599,7 @@ def oracle_sql() -> dict[str, str]:
         # integer-exact PageRank: the oracle unrolls the identical
         # scaled-int64 recurrence, one CTE pair per iteration
         "graph_pagerank": _pagerank_oracle_sql(5),
+        "graph_pagerank_weighted": _pagerank_weighted_oracle_sql(5),
         "graph_triangles": f"""
             WITH {_GRAPH_ED_SQL},
             deg AS (SELECT src AS node, COUNT(*) AS degree FROM sym GROUP BY 1),

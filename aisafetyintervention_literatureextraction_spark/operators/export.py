@@ -114,6 +114,12 @@ def cypher_node_statements(nodes: DataFrame) -> DataFrame:
             F.coalesce(F.col("degree").cast("string"), F.lit("NULL")),
             F.lit(", n.triangles = "),
             F.coalesce(F.col("triangles").cast("string"), F.lit("NULL")),
+            F.lit(", n.clustering = "),
+            F.when(F.col("clustering").isNull(), F.lit("NULL")).otherwise(
+                # fixed 9-decimal render so the literal is stable
+                # across JVM double-toString shortest-repr choices
+                F.format_string("%.9f", F.col("clustering"))
+            ),
         ]
     return nodes.select(F.concat(*parts, F.lit(";")).alias("stmt"))
 

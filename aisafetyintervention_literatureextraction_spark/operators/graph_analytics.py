@@ -53,16 +53,21 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
     )
 
 
+WEIGHT_CAP = 10**8  # per-edge weight clamp: keeps d·rank·w < 2^63
+
+
 def pagerank_int(
     edges: DataFrame,
     iterations: int = 5,
     damping_pct: int = 85,
     directed: bool = False,
+    weight: str | None = None,
 ) -> DataFrame:
     """Deterministic fixed-point PageRank: ``iterations`` rounds of
 
         rank'(v) = (100-d)*SCALE DIV (100*n)
-                 + sum over in-neighbors u of  d*rank(u) DIV (100*outdeg(u))
+                 + sum over in-neighbors u of
+                     d*rank(u)*w(u,v) DIV (100*W_out(u))
 
     with every operation in int64 (DIV = floor division), so the
     result is exact and engine/partitioning-independent.  Mass lost to
@@ -74,10 +79,31 @@ def pagerank_int(
     (each edge walks both ways).  Returns ``(node, rank_int)`` over
     every vertex incident to an edge.
 
-    Overflow headroom: total mass ≤ n · SCALE/n = SCALE, so
-    d·rank(u) ≤ 85 · 10^9 ≪ 2^63.
+    ``weight`` names an integer edge-weight column (e.g. the KG's
+    per-edge evidence count): parallel edges combine by summed weight,
+    each edge's share of u's mass is w/W_out(u), and the unweighted
+    recurrence is recovered exactly at w ≡ 1.  Weights clamp to
+    ``WEIGHT_CAP`` (10^8) after combination — the largest value for
+    which 85·SCALE·w stays below 2^63 (rank(u) ≤ total mass ≤ SCALE).
+
+    Overflow headroom (unweighted): total mass ≤ n · SCALE/n = SCALE,
+    so d·rank(u) ≤ 85 · 10^9 ≪ 2^63.
     """
-    if directed:
+    if weight is not None:
+        e = edges.select(
+            F.col("a").cast("long").alias("a"),
+            F.col("b").cast("long").alias("b"),
+            F.col(weight).cast("long").alias("w"),
+        ).filter("a <> b")
+        if not directed:
+            e = e.select("a", "b", "w").union(
+                e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+            )
+        sym = (
+            e.groupBy(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .agg(F.least(F.sum("w"), F.lit(WEIGHT_CAP)).alias("w"))
+        )
+    elif directed:
         sym = (
             edges.select(F.col("a").cast("long").alias("src"),
                          F.col("b").cast("long").alias("dst"))
@@ -85,6 +111,8 @@ def pagerank_int(
         )
     else:
         sym = _symmetrize(edges)
+    if weight is None:
+        sym = sym.withColumn("w", F.lit(1).cast("long"))
     sym = sym.localCheckpoint(eager=True)
 
     vertices = (
@@ -98,13 +126,13 @@ def pagerank_int(
         return vertices.select("node", F.lit(0).cast("long").alias("rank_int"))
 
     outdeg = sym.groupBy(F.col("src").alias("node")).agg(
-        F.count("*").alias("outdeg")
+        F.sum("w").alias("outdeg")  # == COUNT(*) when w ≡ 1
     )
-    # static per-edge structure: (src, dst, outdeg(src)) — cached once,
-    # per-iteration joins touch only the rank relation
+    # static per-edge structure: (src, dst, w, W_out(src)) — cached
+    # once, per-iteration joins touch only the rank relation
     struct = (
         sym.join(outdeg, sym.src == outdeg.node)
-        .select("src", "dst", "outdeg")
+        .select("src", "dst", "w", "outdeg")
         .localCheckpoint(eager=True)
     )
 
@@ -118,7 +146,7 @@ def pagerank_int(
             struct.join(ranks, struct.src == ranks.node)
             .select(
                 F.col("dst").alias("node"),
-                F.expr(f"({damping_pct} * rank_int) DIV (100 * outdeg)")
+                F.expr(f"({damping_pct} * rank_int * w) DIV (100 * outdeg)")
                 .alias("c"),
             )
             .groupBy("node")

@@ -92,11 +92,13 @@ def test_node_statement_metrics_properties(spark):
     )
     out = {r["stmt"] for r in cypher_node_statements(nodes).collect()}
     assert any(
-        "n.pagerank = 0.024417345, n.degree = 4, n.triangles = 2;" in s
+        "n.pagerank = 0.024417345, n.degree = 4, n.triangles = 2, "
+        "n.clustering = 0.333333000;" in s
         for s in out
     ), out
     assert any(
-        "n.pagerank = NULL, n.degree = NULL, n.triangles = NULL;" in s
+        "n.pagerank = NULL, n.degree = NULL, n.triangles = NULL, "
+        "n.clustering = NULL;" in s
         for s in out
     ), out
 

@@ -159,6 +159,80 @@ def test_pagerank_mass_conservation_bound(spark):
     assert total >= PR_SCALE - n * (n + 200)  # generous floor-loss bound
 
 
+def _wedges_df(spark, triples, parts=5):
+    return spark.createDataFrame(
+        [(int(a), int(b), int(w)) for a, b, w in triples],
+        "a long, b long, w long",
+    ).repartition(parts)
+
+
+def ref_pagerank_weighted(triples, iterations=5, damping_pct=85,
+                          cap=10**8):
+    wadj: dict[int, dict[int, int]] = {}
+    for a, b, w in triples:
+        if a == b:
+            continue
+        for u, v in ((a, b), (b, a)):
+            wadj.setdefault(u, {})
+            wadj[u][v] = wadj[u].get(v, 0) + w
+    for u in wadj:
+        for v in wadj[u]:
+            wadj[u][v] = min(wadj[u][v], cap)
+    nodes = set(wadj)
+    n = len(nodes)
+    if n == 0:
+        return {}
+    teleport = ((100 - damping_pct) * PR_SCALE) // (100 * n)
+    wout = {u: sum(ws.values()) for u, ws in wadj.items()}
+    rank = {v: PR_SCALE // n for v in nodes}
+    for _ in range(iterations):
+        mass = {v: 0 for v in nodes}
+        for u, ws in wadj.items():
+            for v, w in ws.items():
+                mass[v] += (damping_pct * rank[u] * w) // (100 * wout[u])
+        rank = {v: teleport + mass[v] for v in nodes}
+    return rank
+
+
+def test_pagerank_weighted_matches_reference(spark):
+    rng = random.Random(13)
+    triples = [(a, b, rng.randrange(1, 9))
+               for a, b in _random_graph(13, n=30, m=80)]
+    got = {
+        r["node"]: r["rank_int"]
+        for r in pagerank_int(
+            _wedges_df(spark, triples), iterations=5, weight="w"
+        ).collect()
+    }
+    assert got == ref_pagerank_weighted(triples, iterations=5)
+
+
+def test_pagerank_weighted_unit_weights_equal_unweighted(spark):
+    pairs = _random_graph(17)
+    unw = sorted(pagerank_int(_edges_df(spark, pairs), iterations=4).collect())
+    w1 = sorted(
+        pagerank_int(
+            _wedges_df(spark, [(a, b, 1) for a, b in pairs]),
+            iterations=4, weight="w",
+        ).collect()
+    )
+    assert unw == w1
+
+
+def test_pagerank_weighted_parallel_edges_combine(spark):
+    # (1,2) seen with weights 3 and 4 ≡ one (1,2) edge of weight 7
+    split = [(1, 2, 3), (1, 2, 4), (2, 3, 5)]
+    merged = [(1, 2, 7), (2, 3, 5)]
+    a = sorted(pagerank_int(_wedges_df(spark, split), iterations=3,
+                            weight="w").collect())
+    b = sorted(pagerank_int(_wedges_df(spark, merged), iterations=3,
+                            weight="w").collect())
+    assert a == b
+    # weight asymmetry shows: 2 splits its mass 7:5 toward 1
+    ranks = dict((r["node"], r["rank_int"]) for r in a)
+    assert ranks[1] > ranks[3]
+
+
 def test_triangles_k4_and_house(spark):
     # K4: every vertex has degree 3 and sits in 3 triangles, coeff 1.0
     k4 = list(itertools.combinations(range(4), 2))
