@@ -60,6 +60,7 @@ class PipelineConfig:
     allow_gaps: bool = False               # sparse turn indices OK (no quarantine)
     catalog_backend: str = "auto"          # "auto" | "manifest" | "iceberg"
     analytics: bool = False                # stage E: kg_node_metrics table
+    analytics_weighted: bool = False       # stage E PageRank: evidence weights
 
 
 def stage_a_reassemble(cat: Catalog, transcripts: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -454,15 +455,23 @@ def stage_e_analytics(cat: Catalog, cfg: PipelineConfig):
     Like stage D it is a pure recompute from the graph tables, so the
     commit contract is the same: a single run_id-tagged overwrite with
     a sentinel state row; a crash between the overwrite and the
-    sentinel rolls back on resume via reconcile_versions."""
+    sentinel rolls back on resume via reconcile_versions.
+
+    ``analytics_weighted`` swaps the PageRank term for the
+    evidence-weighted recurrence: each undirected pair carries the
+    total evidence count (sum of ``size(conv_ids)`` over its
+    (src, dst, pred) rows), so a claim supported by 50 conversations
+    pulls proportionally more centrality than a one-off.  Degree /
+    triangles / clustering stay structural (unweighted) either way."""
     from ..operators.graph_analytics import pagerank_int, triangle_counts
 
     run_id = ckpt.new_run_id()
     t0 = time.time()
     if cfg.resume:
         ckpt.reconcile_versions(cat, ["kg_node_metrics"])
+    kg_edges = cat.read("kg_edges")
     edges = (
-        cat.read("kg_edges")
+        kg_edges
         .select(
             F.least("src", "dst").alias("a"),
             F.greatest("src", "dst").alias("b"),
@@ -470,7 +479,21 @@ def stage_e_analytics(cat: Catalog, cfg: PipelineConfig):
         .distinct()
     )
     edges = caching.track(edges)  # two kernels, one shuffle of the basis
-    pr = pagerank_int(edges, iterations=5)
+    if cfg.analytics_weighted:
+        wedges = (
+            kg_edges.select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+                # empty/null evidence still counts as one observation
+                # (w=0 edges would zero W_out → DIV-by-zero nulls)
+                F.greatest(F.coalesce(F.size("conv_ids"), F.lit(1)),
+                           F.lit(1)).cast("long").alias("w"),
+            )
+            .groupBy("a", "b").agg(F.sum("w").alias("w"))
+        )
+        pr = pagerank_int(wedges, iterations=5, weight="w")
+    else:
+        pr = pagerank_int(edges, iterations=5)
     tri = triangle_counts(edges)
     metrics = (
         cat.read("kg_nodes")
@@ -784,6 +807,10 @@ def main() -> None:
                          "with PageRank centrality / triangles / "
                          "clustering into the kg_node_metrics table "
                          "(stage E)")
+    ap.add_argument("--analytics-weighted", action="store_true",
+                    help="with --analytics: weight the PageRank term "
+                         "by per-edge evidence counts (size of each "
+                         "kg_edge's conv_ids union)")
     ap.add_argument("--export-cypher", metavar="DIR", default=None,
                     help="after the run, write the graph as an "
                          "idempotent Cypher MERGE script (nodes/ then "
@@ -797,17 +824,20 @@ def main() -> None:
             spark, args.ard, args.warehouse,
             cd_every=args.cd_every, extract_engine=args.engine,
             analytics=args.analytics,
+            analytics_weighted=args.analytics_weighted,
         )
     elif args.ard:
         stats = run_pipeline_ard(
             spark, args.ard, args.warehouse, extract_engine=args.engine,
             analytics=args.analytics,
+            analytics_weighted=args.analytics_weighted,
         )
     elif args.pdf_dir and args.stream:
         stats = run_pipeline_pdfs_streaming(
             spark, args.pdf_dir, args.warehouse,
             cd_every=args.cd_every, extract_engine=args.engine,
             analytics=args.analytics,
+            analytics_weighted=args.analytics_weighted,
         )
     elif args.pdf_dir:
         stats = run_pipeline_pdfs(
@@ -815,12 +845,14 @@ def main() -> None:
             extract_images=args.extract_images,
             modified_after=args.modified_after,
             analytics=args.analytics,
+            analytics_weighted=args.analytics_weighted,
         )
     elif args.stream:
         stats = run_pipeline_streaming(
             spark, args.transcripts, args.warehouse,
             cd_every=args.cd_every, extract_engine=args.engine,
             analytics=args.analytics,
+            analytics_weighted=args.analytics_weighted,
         )
     else:
         from ..sources.transcripts import read_transcripts
@@ -829,6 +861,7 @@ def main() -> None:
         stats = run_pipeline(
             spark, transcripts, args.warehouse, extract_engine=args.engine,
             analytics=args.analytics,
+            analytics_weighted=args.analytics_weighted,
         )
     if args.export_cypher:
         from ..operators.export import export_cypher

@@ -304,6 +304,62 @@ def bench_pdf_decode(spark, n_docs: int = 3000, runs: int = 3) -> dict:
     }
 
 
+def ensure_graph_corpus(spark, n_nodes: int = 4_000_000,
+                        n_random: int = 16_000_000) -> str:
+    """Deterministic large undirected graph for the kernel-scaling
+    bench: an n-node double ring (i—i+1, i—i+2: one triangle per
+    vertex, so the wedge join does real work everywhere) plus
+    hash-random long-range edges (cross-partition shuffle realism,
+    no locality for the joins to exploit).  Written once; both
+    parallelism levels read identical parquet bytes."""
+    path = f"/tmp/kgbench_graph_n{n_nodes}_r{n_random}.parquet"
+    if not os.path.exists(path):
+        from pyspark.sql import functions as F
+
+        ring = spark.range(n_nodes).selectExpr(
+            "id AS a", f"(id + 1) % {n_nodes}L AS b"
+        ).union(spark.range(n_nodes).selectExpr(
+            "id AS a", f"(id + 2) % {n_nodes}L AS b"
+        ))
+        rnd = spark.range(n_random).select(
+            (F.abs(F.xxhash64("id", F.lit(1))) % n_nodes).alias("a"),
+            (F.abs(F.xxhash64("id", F.lit(2))) % n_nodes).alias("b"),
+        ).filter("a <> b")
+        ring.union(rnd).repartition(64).write.mode("overwrite").parquet(path)
+    return path
+
+
+def bench_graph_kernels(spark, path: str) -> dict:
+    """Walls for the three graph-analytics kernels on the synthetic
+    graph corpus — the action for each is a full count() of the
+    result relation (no collect of data rows)."""
+    from aisafetyintervention_literatureextraction_spark.operators.graph_analytics import (
+        bfs_khop, pagerank_int, triangle_counts,
+    )
+    from pyspark.sql import functions as F
+
+    edges = spark.read.parquet(path)
+    n_edges = edges.count()  # warms the scan; corpus is deterministic
+    out = {"n_edges": n_edges}
+    t0 = time.time()
+    out["pagerank_rows"] = pagerank_int(edges, iterations=5).count()
+    out["pagerank_wall_s"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    out["triangles_rows"] = triangle_counts(edges).count()
+    out["triangles_wall_s"] = round(time.time() - t0, 2)
+    seeds = (
+        edges.select(F.col("a").alias("node")).distinct()
+        .filter(F.col("node") % 4096 == 7)
+    )
+    t0 = time.time()
+    out["bfs_rows"] = bfs_khop(edges, seeds, max_hops=3).count()
+    out["bfs_wall_s"] = round(time.time() - t0, 2)
+    out["total_wall_s"] = round(
+        out["pagerank_wall_s"] + out["triangles_wall_s"] + out["bfs_wall_s"], 2
+    )
+    return out
+
+
 def _ui_get(url):
     import json as _json
     import urllib.request
@@ -616,6 +672,10 @@ def main() -> None:
     ap.add_argument("--pdf-scale", action="store_true",
                     help="decode-bound PDF corpus (~110 MB) at 4 and 16 "
                          "cores: docs/s + MB/s + scaling efficiency")
+    ap.add_argument("--graph-scale", action="store_true",
+                    help="graph-analytics kernels (PageRank/triangles/"
+                         "BFS) on a 6M-edge synthetic graph at 4 and "
+                         "16 cores: walls + per-kernel efficiency")
     ap.add_argument("--soak", action="store_true",
                     help="sf1-class soak: heavy dedup/CC queries at 10x "
                          "docs with task-time spread telemetry")
@@ -688,6 +748,44 @@ def main() -> None:
             "value": round(eff, 3),
             "unit": "ratio",
             "valid": not degraded,
+            "cores": {str(k): v for k, v in levels.items()},
+            "sf": sf,
+        }))
+        if degraded:
+            raise SystemExit(3)
+        return
+    if args.graph_scale:
+        from aisafetyintervention_literatureextraction_spark.session import get_spark
+
+        levels = {}
+        degraded = False
+        for cpus in (4, 16):
+            # localCheckpoint blocks (edge structure + per-iteration
+            # ranks) live in the local-mode driver heap; iterative
+            # checkpoint blocks persist until ContextCleaner GC, so
+            # size generously (8g default OOMs at 12M edges)
+            spark = get_spark(f"bench-graph-{cpus}", cpus=cpus,
+                              shuffle_partitions=64,
+                              extra_conf={"spark.driver.memory": "48g"})
+            try:
+                path = ensure_graph_corpus(spark)
+                h0 = _host_sample()
+                levels[cpus] = bench_graph_kernels(spark, path)
+                levels[cpus]["host"] = _host_delta(h0, _host_sample())
+                degraded = degraded or levels[cpus]["host"]["degraded"]
+            finally:
+                spark.stop()
+        eff = {
+            k: round((levels[4][f"{k}_wall_s"]
+                      / max(levels[16][f"{k}_wall_s"], 1e-9)) / 4, 3)
+            for k in ("pagerank", "triangles", "bfs", "total")
+        }
+        print(json.dumps({
+            "metric": "graph_kernel_scaling",
+            "value": eff["total"],
+            "unit": "ratio",
+            "valid": not degraded,
+            "efficiency": eff,
             "cores": {str(k): v for k, v in levels.items()},
             "sf": sf,
         }))

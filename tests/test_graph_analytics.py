@@ -349,3 +349,48 @@ def test_stage_e_kg_node_metrics(spark, corpus, warehouse):
     after = sorted(map(tuple, Catalog(spark, warehouse)
                        .read("kg_node_metrics").collect()))
     assert before == after
+
+
+def test_stage_e_weighted_pagerank(spark, corpus, warehouse):
+    """--analytics-weighted: the PageRank column equals the weighted
+    reference with w = summed evidence counts per undirected pair;
+    degree/triangles/clustering stay the structural values."""
+    from aisafetyintervention_literatureextraction_spark.catalog import Catalog
+    from aisafetyintervention_literatureextraction_spark.plans.pipeline import (
+        run_pipeline,
+    )
+
+    df, _ = corpus
+    run_pipeline(spark, df, warehouse, analytics=True,
+                 analytics_weighted=True)
+    cat = Catalog(spark, warehouse)
+    edge_rows = cat.read("kg_edges").select(
+        F.least("src", "dst").alias("a"),
+        F.greatest("src", "dst").alias("b"),
+        F.greatest(F.coalesce(F.size("conv_ids"), F.lit(1)),
+                   F.lit(1)).cast("long").alias("w"),
+    ).collect()
+    agg: dict[tuple[int, int], int] = {}
+    for r in edge_rows:
+        agg[(r["a"], r["b"])] = agg.get((r["a"], r["b"]), 0) + r["w"]
+    triples = [(a, b, w) for (a, b), w in agg.items()]
+    pr = ref_pagerank_weighted(triples, iterations=5)
+    tri = ref_triangles([(a, b) for a, b, _ in triples])
+    got = {r["node_id"]: r for r in cat.read("kg_node_metrics").collect()}
+    assert pr, "corpus produced an empty KG edge set"
+    for v, rank in pr.items():
+        assert got[v]["pagerank_int"] == rank
+    for v, (d, t, c) in tri.items():
+        assert (got[v]["degree"], got[v]["triangles"],
+                got[v]["clustering"]) == (d, t, c)
+    # weighting changes ranks only where some node splits its mass
+    # over neighbors of DIFFERING weights (a degree-1 node passes 100%
+    # regardless of w) — gate the difference check on that structure
+    wout: dict[int, list[int]] = {}
+    for a, b, w in triples:
+        wout.setdefault(a, []).append(w)
+        wout.setdefault(b, []).append(w)
+    if any(len(set(ws)) > 1 for ws in wout.values()):
+        unweighted = ref_pagerank([(a, b) for a, b, _ in triples],
+                                  iterations=5)
+        assert any(unweighted[v] != pr[v] for v in pr)
