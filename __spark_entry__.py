@@ -50,6 +50,7 @@ from aisafetyintervention_literatureextraction_spark.sources.raw_files import (
 )
 from aisafetyintervention_literatureextraction_spark.operators.graph_analytics import (
     bfs_khop,
+    kcore,
     pagerank_int,
     triangle_counts,
 )
@@ -769,6 +770,16 @@ def q_graph_triangles(spark, sf_dir):
     return triangle_counts(_copurchase_edges(spark, sf_dir))
 
 
+def q_graph_kcore(spark, sf_dir):
+    """3-core of the co-purchase graph by synchronous peeling, capped
+    at 16 rounds — above the measured peel depth of every test SF
+    (4 at sf0.001, 12 at sf0.01; at sf0.1 the 3-core is empty by
+    round 4), so the capped result IS the 3-core on these graphs and
+    the oracle can unroll the identical 16 rounds in SQL.  Returns
+    surviving nodes with their in-core degree."""
+    return kcore(_copurchase_edges(spark, sf_dir), k=3, max_rounds=16)
+
+
 def q_graph_khop(spark, sf_dir):
     """Frontier BFS: min-hop distance (cap 3) from the deterministic
     seed set {node % 17 == 3}; oracle is a recursive CTE."""
@@ -826,6 +837,36 @@ def _pagerank_oracle_sql(iterations: int = 5) -> str:
     # trailing comma on the last CTE: close the list with a no-op
     parts.append("fin AS (SELECT 1)")
     parts.append(f"SELECT node, rank_int FROM r{iterations}")
+    return "\n".join(parts)
+
+
+def _kcore_oracle_sql(k: int = 3, rounds: int = 16) -> str:
+    """Unrolled synchronous k-core peel: each round recomputes degrees
+    over the surviving edge set and keeps both-endpoint-surviving
+    edges — mirroring operators/graph_analytics.kcore exactly."""
+    # every live{i} is referenced twice (degree CTE + edge filter), so
+    # it MUST be materialized: plain CTE inlining doubles the base-scan
+    # expansion per round — 2^rounds copies of the parquet scan
+    parts = [
+        "WITH " + _GRAPH_ED_SQL + ",",
+        "live0 AS MATERIALIZED (SELECT src, dst FROM sym),",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"d{i} AS (SELECT src AS node, COUNT(*) AS deg"
+            f" FROM live{i - 1} GROUP BY 1),"
+        )
+        parts.append(f"kk{i} AS (SELECT node FROM d{i} WHERE deg >= {k}),")
+        parts.append(
+            f"live{i} AS MATERIALIZED (SELECT l.src, l.dst FROM live{i - 1} l"
+            f" JOIN kk{i} a ON a.node = l.src"
+            f" JOIN kk{i} b ON b.node = l.dst),"
+        )
+    parts.append("fin AS (SELECT 1)")
+    parts.append(
+        f"SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree"
+        f" FROM live{rounds} GROUP BY 1"
+    )
     return "\n".join(parts)
 
 
@@ -1095,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank_weighted": q_graph_pagerank_weighted,
         "graph_triangles": q_graph_triangles,
         "graph_khop": q_graph_khop,
+        "graph_kcore": q_graph_kcore,
     }
 
 
@@ -1600,6 +1642,7 @@ def oracle_sql() -> dict[str, str]:
         # scaled-int64 recurrence, one CTE pair per iteration
         "graph_pagerank": _pagerank_oracle_sql(5),
         "graph_pagerank_weighted": _pagerank_weighted_oracle_sql(5),
+        "graph_kcore": _kcore_oracle_sql(3, 16),
         "graph_triangles": f"""
             WITH {_GRAPH_ED_SQL},
             deg AS (SELECT src AS node, COUNT(*) AS degree FROM sym GROUP BY 1),

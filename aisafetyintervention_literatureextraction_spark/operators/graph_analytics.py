@@ -303,3 +303,55 @@ def bfs_khop(
             break
         visited = visited.union(frontier).localCheckpoint(eager=True)
     return visited
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int | None = None,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly delete
+    every vertex of degree < k (and its edges) until none remains.
+    Returns ``(node, degree)`` — the surviving vertices with their
+    degree INSIDE the core.  The k-core is confluent (the fixpoint is
+    unique regardless of deletion order), so the result is
+    deterministic for any partitioning/engine.
+
+    ``max_rounds`` caps the peel loop (None = run to fixpoint).  A
+    capped run is still well-defined — "the graph after R synchronous
+    peel rounds" — which is what the unrolled-SQL oracle checks; the
+    kernel tests assert the cap used by the contract query has already
+    converged on its graphs, so both names denote the k-core there.
+
+    Scale shape: each round is one groupBy (degree count) + one
+    semi-join (edge filter against surviving vertices) over a
+    monotonically SHRINKING edge set, with the
+    persist→count→localCheckpoint→unpersist sandwich pinning plan
+    stats (the r4 iterative-self-join fix).  Rounds needed is the
+    degeneracy-peel depth — O(log n) on real-world graphs.
+    """
+    live = _symmetrize(edges).localCheckpoint(eager=True)
+    n_prev = live.count()
+    rounds = 0
+    while n_prev > 0:
+        deg = live.groupBy(F.col("src").alias("node")).agg(
+            F.count("*").alias("degree")
+        )
+        keep = deg.filter(F.col("degree") >= k).select("node")
+        nxt = (
+            live.join(keep.withColumnRenamed("node", "src"), "src", "semi")
+            .join(keep.withColumnRenamed("node", "dst"), "dst", "semi")
+            .select("src", "dst")
+        )
+        cached = nxt.persist()
+        n_now = cached.count()
+        live = cached.localCheckpoint(eager=True)
+        cached.unpersist()
+        rounds += 1
+        if n_now == n_prev or (max_rounds is not None and rounds >= max_rounds):
+            n_prev = n_now
+            break
+        n_prev = n_now
+    return live.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("degree")
+    )

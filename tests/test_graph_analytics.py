@@ -394,3 +394,82 @@ def test_stage_e_weighted_pagerank(spark, corpus, warehouse):
         unweighted = ref_pagerank([(a, b) for a, b, _ in triples],
                                   iterations=5)
         assert any(unweighted[v] != pr[v] for v in pr)
+
+
+def ref_kcore(pairs, k):
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for v in [v for v, ns in adj.items() if len(ns) < k]:
+            for u in adj[v]:
+                adj[u].discard(v)
+            del adj[v]
+            changed = True
+    return {v: len(ns) for v, ns in adj.items() if ns}
+
+
+def test_kcore_matches_reference(spark):
+    from aisafetyintervention_literatureextraction_spark.operators.graph_analytics import (
+        kcore,
+    )
+
+    pairs = _random_graph(31, n=40, m=140)
+    for k in (2, 3, 4):
+        got = {r["node"]: r["degree"]
+               for r in kcore(_edges_df(spark, pairs), k).collect()}
+        assert got == ref_kcore(pairs, k), f"k={k}"
+
+
+def test_kcore_ring_plus_clique(spark):
+    from aisafetyintervention_literatureextraction_spark.operators.graph_analytics import (
+        kcore,
+    )
+
+    # a 6-ring (every vertex degree 2) hanging off a K5 (degree ≥ 4):
+    # the 3-core is exactly the K5; the 2-core keeps everything
+    ring = [(i + 100, (i + 1) % 6 + 100) for i in range(6)]
+    k5 = list(itertools.combinations(range(5), 2))
+    bridge = [(0, 100)]
+    g = ring + k5 + bridge
+    core3 = {r["node"] for r in kcore(_edges_df(spark, g), 3).collect()}
+    assert core3 == set(range(5))
+    core2 = {r["node"] for r in kcore(_edges_df(spark, g), 2).collect()}
+    # the bridge edge (degree-1 endpoints outside both cycles) peels off
+    assert core2 == set(range(5)) | {100 + i for i in range(6)}
+
+
+def test_kcore_capped_rounds_semantics(spark):
+    from aisafetyintervention_literatureextraction_spark.operators.graph_analytics import (
+        kcore,
+    )
+
+    # a chain peels one layer per synchronous round: after 2 rounds of
+    # k=2 peeling, 0-9 chain has lost both endpoints twice
+    chain = [(i, i + 1) for i in range(9)]
+    capped = {r["node"] for r in kcore(_edges_df(spark, chain), 2,
+                                       max_rounds=2).collect()}
+    assert capped == set(range(2, 8))
+    full = kcore(_edges_df(spark, chain), 2).collect()
+    assert full == []  # a chain has no 2-core
+
+
+def test_kcore_contract_cap_converged(spark):
+    """The graph_kcore contract query caps peeling at 16 rounds for
+    the unrolled oracle; assert the cap has actually converged on the
+    oracle-fixture graph, so capped == true 3-core there (measured
+    peel depths: 4 at sf0.001, 12 at sf0.01, empty-by-4 at sf0.1)."""
+    import __spark_entry__ as em
+    from aisafetyintervention_literatureextraction_spark.operators.graph_analytics import (
+        kcore,
+    )
+
+    e = em._copurchase_edges(spark, "/root/testdata/sf0.001")
+    capped = sorted(map(tuple, kcore(e, 3, max_rounds=16).collect()))
+    full = sorted(map(tuple, kcore(e, 3).collect()))
+    assert capped == full and len(full) > 0
