@@ -56,6 +56,23 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
 WEIGHT_CAP = 10**8  # per-edge weight clamp: keeps d·rank·w < 2^63
 
 
+def _ckpt_flat(df: DataFrame) -> DataFrame:
+    """persist → count → localCheckpoint → unpersist (the
+    components.py r4 sandwich): localCheckpoint alone preserves the
+    ORIGIN plan's Catalyst statistics, and sizeInBytes estimates
+    MULTIPLY through every downstream join — a relation referenced on
+    both sides of a self-join squares them, so a few composition
+    layers reach astronomical BigIntegers and the driver burns time in
+    stat propagation.  The cache boundary makes the checkpointed
+    plan's stats the InMemoryRelation's real materialized size."""
+    cached = df.persist()
+    cached.count()
+    out = cached.localCheckpoint(eager=True)
+    cached.unpersist()
+    return out
+
+
+
 def pagerank_int(
     edges: DataFrame,
     iterations: int = 5,
@@ -189,14 +206,13 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         )
         .filter("a <> b")
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    deg = (
+    e = _ckpt_flat(e)
+    deg = _ckpt_flat(
         e.select(F.col("a").alias("node"))
         .union(e.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("degree"))
-        .localCheckpoint(eager=True)
     )
     # orient low→high by (degree, id): bounded oriented out-degree
     da = deg.select(F.col("node").alias("a"), F.col("degree").alias("dega"))
@@ -213,8 +229,8 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             .alias("o")
         )
         .select("o.src", "o.dst")
-        .localCheckpoint(eager=True)
     )
+    oriented = _ckpt_flat(oriented)
     e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     e2 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
     closer = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))

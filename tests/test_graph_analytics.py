@@ -473,3 +473,34 @@ def test_kcore_contract_cap_converged(spark):
     capped = sorted(map(tuple, kcore(e, 3, max_rounds=16).collect()))
     full = sorted(map(tuple, kcore(e, 3).collect()))
     assert capped == full and len(full) > 0
+
+
+def test_graph_kernel_plans_no_cartesian_and_bounded_stats(spark):
+    """Plan locks for the kernel family: no nested-loop/cartesian join
+    anywhere (the degree-oriented wedge join and the peel semi-joins
+    must stay hash joins), and the iterative kernels' final plans keep
+    HONEST Catalyst sizeInBytes (the persist→count→localCheckpoint
+    sandwich, components.py r4 fix — without it estimates compound per
+    iteration into astronomical BigIntegers)."""
+    from aisafetyintervention_literatureextraction_spark.operators.graph_analytics import (
+        kcore,
+    )
+
+    pairs = _random_graph(41, n=60, m=200)
+    e = _edges_df(spark, pairs)
+    plans = {
+        "pagerank": pagerank_int(e, iterations=4),
+        "pagerank_w": pagerank_int(
+            _wedges_df(spark, [(a, b, 2) for a, b in pairs]),
+            iterations=4, weight="w"),
+        "triangles": triangle_counts(e),
+        "bfs": bfs_khop(e, e.select(F.col("a").alias("node")).limit(3), 3),
+        "kcore": kcore(e, 2),
+    }
+    for name, df in plans.items():
+        qe = df._jdf.queryExecution()
+        plan = qe.executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        size = str(qe.optimizedPlan().stats().sizeInBytes())
+        assert len(size) < 15, f"{name}: {len(size)}-digit sizeInBytes"
