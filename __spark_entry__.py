@@ -51,6 +51,8 @@ from aisafetyintervention_literatureextraction_spark.sources.raw_files import (
 from aisafetyintervention_literatureextraction_spark.operators.graph_analytics import (
     bfs_khop,
     kcore,
+    label_propagation,
+    link_prediction,
     pagerank_int,
     triangle_counts,
 )
@@ -780,6 +782,25 @@ def q_graph_kcore(spark, sf_dir):
     return kcore(_copurchase_edges(spark, sf_dir), k=3, max_rounds=16)
 
 
+def q_graph_communities(spark, sf_dir):
+    """Synchronous label-propagation communities (4 rounds,
+    smallest-label tie-break) on the co-purchase graph — the
+    deterministic LPA variant, so the oracle unrolls the identical
+    4 vote/adopt rounds in SQL (ROW_NUMBER ORDER BY c DESC, label)."""
+    return label_propagation(_copurchase_edges(spark, sf_dir), rounds=4)
+
+
+def q_graph_link_prediction(spark, sf_dir):
+    """Common-neighbors link prediction (KG completion): non-adjacent
+    co-purchase pairs with ≥2 shared neighbors, hub centers (degree
+    > 64) suppressed, scored by common count + Jaccard — the oracle
+    repeats the wedge join, the anti-join against existing edges, and
+    the capped-center rule in SQL."""
+    return link_prediction(
+        _copurchase_edges(spark, sf_dir), min_common=2, max_center_degree=64
+    )
+
+
 def q_graph_khop(spark, sf_dir):
     """Frontier BFS: min-hop distance (cap 3) from the deterministic
     seed set {node % 17 == 3}; oracle is a recursive CTE."""
@@ -868,6 +889,56 @@ def _kcore_oracle_sql(k: int = 3, rounds: int = 16) -> str:
         f" FROM live{rounds} GROUP BY 1"
     )
     return "\n".join(parts)
+
+
+def _lpa_oracle_sql(rounds: int = 4) -> str:
+    """Unrolled synchronous label propagation: per round, count each
+    node's neighbor labels and keep the (max count, min label) row via
+    ROW_NUMBER — mirroring operators/graph_analytics.label_propagation
+    (max_by over struct(c, -label)) exactly."""
+    parts = [
+        "WITH " + _GRAPH_ED_SQL + ",",
+        "l0 AS (SELECT node, node AS label FROM v),",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"vt{i} AS (SELECT s.src AS node, l.label, COUNT(*) AS c"
+            f" FROM sym s JOIN l{i - 1} l ON l.node = s.dst"
+            f" GROUP BY 1, 2),"
+        )
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT node, label FROM ("
+            f" SELECT node, label, ROW_NUMBER() OVER"
+            f" (PARTITION BY node ORDER BY c DESC, label ASC) AS rn"
+            f" FROM vt{i}) WHERE rn = 1),"
+        )
+    parts.append("fin AS (SELECT 1)")
+    parts.append(f"SELECT node, label FROM l{rounds}")
+    return "\n".join(parts)
+
+
+_LINKPRED_ORACLE_SQL = (
+    "WITH " + _GRAPH_ED_SQL + """,
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY 1),
+    ctr AS (SELECT node FROM deg WHERE deg <= 64),
+    nb AS (SELECT s.src AS c, s.dst AS n
+           FROM sym s JOIN ctr ON ctr.node = s.src),
+    cn AS (
+      SELECT l.n AS a, r.n AS b, COUNT(*) AS common
+      FROM nb l JOIN nb r ON l.c = r.c AND l.n < r.n
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    miss AS (
+      SELECT cn.a, cn.b, cn.common
+      FROM cn LEFT JOIN ed ON ed.a = cn.a AND ed.b = cn.b
+      WHERE ed.a IS NULL
+    )
+    SELECT m.a, m.b, CAST(m.common AS BIGINT) AS common,
+           ROUND(m.common / (da.deg + db.deg - m.common), 6) AS jaccard
+    FROM miss m
+    JOIN deg da ON da.node = m.a
+    JOIN deg db ON db.node = m.b
+""")
 
 
 def _pagerank_weighted_oracle_sql(iterations: int = 5) -> str:
@@ -1137,6 +1208,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "graph_khop": q_graph_khop,
         "graph_kcore": q_graph_kcore,
+        "graph_communities": q_graph_communities,
+        "graph_link_prediction": q_graph_link_prediction,
     }
 
 
@@ -1643,6 +1716,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _pagerank_oracle_sql(5),
         "graph_pagerank_weighted": _pagerank_weighted_oracle_sql(5),
         "graph_kcore": _kcore_oracle_sql(3, 16),
+        "graph_communities": _lpa_oracle_sql(4),
+        "graph_link_prediction": _LINKPRED_ORACLE_SQL,
         "graph_triangles": f"""
             WITH {_GRAPH_ED_SQL},
             deg AS (SELECT src AS node, COUNT(*) AS degree FROM sym GROUP BY 1),

@@ -321,6 +321,134 @@ def bfs_khop(
     return visited
 
 
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 4,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (LPA,
+    Raghavan et al. 2007), made deterministic: every vertex starts
+    labeled with its own id, and each round every vertex
+    simultaneously adopts the label that is most frequent among its
+    neighbors, ties broken by the SMALLEST label.  Classic async LPA
+    is order-dependent; the synchronous + total-order-tie-break
+    variant is a pure function of (graph, rounds), so the result is
+    identical on any engine/partitioning and an unrolled-SQL oracle
+    can replay it round for round (same trick as ``kcore``'s capped
+    peel).  Returns ``(node, label)``; nodes sharing a label after
+    ``rounds`` rounds are one community.
+
+    Scale shape per round: one hash-join (neighbor labels) + one
+    groupBy(node, label) vote count + one max_by reduce — all
+    shuffle-on-node, no window, with partial aggregation map-side.
+    The vote relation is |E| rows pre-combine, same order as one
+    PageRank contribution round.  The
+    persist→count→localCheckpoint→unpersist sandwich pins plan stats
+    across iterations (the r4 Catalyst-stats fix).
+    """
+    sym = _ckpt_flat(_symmetrize(edges))
+    labels = _ckpt_flat(
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(rounds):
+        votes = (
+            sym.join(labels, sym.dst == labels.node)
+            .select(F.col("src").alias("nd"), "label")
+            .groupBy("nd", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        # max over (count, -label): most frequent label, smallest on
+        # ties — (-label) is unique within a node's vote rows, so the
+        # struct ordering is total and max_by is deterministic
+        new_labels = (
+            votes.groupBy("nd")
+            .agg(
+                F.max_by(
+                    "label",
+                    F.struct(F.col("c"), (-F.col("label")).alias("nl")),
+                ).alias("label")
+            )
+            .select(F.col("nd").alias("node"), "label")
+        )
+        labels = _ckpt_flat(new_labels)
+    return labels
+
+
+def link_prediction(
+    edges: DataFrame,
+    min_common: int = 2,
+    max_center_degree: int = 64,
+) -> DataFrame:
+    """Missing-edge candidates for KG completion: every NON-adjacent
+    pair scored by common-neighbor count and Jaccard overlap.  In the
+    constructed KG this proposes relations the extractor never saw
+    stated directly — the classic common-neighbors link predictor
+    (Liben-Nowell & Kleinberg 2003).
+
+    Returns ``(a, b, common, jaccard)`` with a < b, ``common`` ≥
+    ``min_common``, pair not already an edge;
+    ``jaccard = common / (deg(a) + deg(b) − common)`` rounded to 6
+    places (one float division of exact ints — engine-stable, same
+    contract as triangle_counts.clustering).
+
+    Scale shape: the pair generator is a wedge self-join on the
+    neighbor lists, whose fan-out is Σ deg(c)² over wedge CENTERS — a
+    single celebrity hub contributes deg² pairs.  ``max_center_degree``
+    excludes hubs as centers (deterministic, part of the operator
+    contract, mirrored by the SQL oracle): standard hub suppression in
+    link prediction, since a pair "connected" only through a
+    million-degree hub carries no signal.  With the cap, per-center
+    fan-out is ≤ cap², and the wedge relation is bounded by
+    |E| · cap.  Degrees for the Jaccard denominator stay UNcapped —
+    the cap prunes candidate generation, not the score.
+    """
+    e = (
+        edges.select(
+            F.least(F.col("a").cast("long"), F.col("b").cast("long")).alias("a"),
+            F.greatest(F.col("a").cast("long"), F.col("b").cast("long")).alias("b"),
+        )
+        .filter("a <> b")
+        .distinct()
+    )
+    e = _ckpt_flat(e)
+    sym = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = _ckpt_flat(
+        sym.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+    )
+    centers = deg.filter(F.col("deg") <= max_center_degree).select("node")
+    nbrs = sym.join(
+        centers.withColumnRenamed("node", "src"), "src", "semi"
+    )
+    left = nbrs.select(F.col("src").alias("c"), F.col("dst").alias("a"))
+    right = nbrs.select(F.col("src").alias("c"), F.col("dst").alias("b"))
+    cn = (
+        left.join(right, "c")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+        .filter(F.col("common") >= min_common)
+        .join(e, ["a", "b"], "left_anti")
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    return (
+        cn.join(da, "a").join(db, "b")
+        .select(
+            "a",
+            "b",
+            F.col("common").cast("long").alias("common"),
+            F.round(
+                F.col("common")
+                / (F.col("da") + F.col("db") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def kcore(
     edges: DataFrame,
     k: int,

@@ -504,3 +504,175 @@ def test_graph_kernel_plans_no_cartesian_and_bounded_stats(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
         size = str(qe.optimizedPlan().stats().sizeInBytes())
         assert len(size) < 15, f"{name}: {len(size)}-digit sizeInBytes"
+
+
+# ----------------------------------------------------- label propagation
+
+def ref_lpa(pairs, rounds=4):
+    """Synchronous LPA with smallest-label tie-break — the pure-Python
+    mirror of operators/graph_analytics.label_propagation."""
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {v: v for v in adj}
+    for _ in range(rounds):
+        new = {}
+        for v, nbrs in adj.items():
+            counts: dict[int, int] = {}
+            for u in nbrs:
+                counts[labels[u]] = counts.get(labels[u], 0) + 1
+            new[v] = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        labels = new
+    return labels
+
+
+def test_lpa_two_cliques_bridge(spark):
+    """Two 4-cliques joined by one bridge edge settle into exactly two
+    communities, labeled by each clique's minimum id."""
+    from aisafetyintervention_literatureextraction_spark.operators.graph_analytics import (
+        label_propagation,
+    )
+
+    c1 = list(itertools.combinations([0, 1, 2, 3], 2))
+    c2 = list(itertools.combinations([10, 11, 12, 13], 2))
+    g = c1 + c2 + [(3, 10)]
+    got = {r["node"]: r["label"]
+           for r in label_propagation(_edges_df(spark, g), rounds=4).collect()}
+    assert got == ref_lpa(g, 4)
+    assert {got[v] for v in (0, 1, 2, 3)} == {0}
+    assert {got[v] for v in (11, 12, 13)} == {10}
+
+
+def test_lpa_matches_reference_random(spark):
+    from aisafetyintervention_literatureextraction_spark.operators.graph_analytics import (
+        label_propagation,
+    )
+
+    for seed in (7, 21):
+        pairs = _random_graph(seed, n=30, m=70)
+        got = {r["node"]: r["label"]
+               for r in label_propagation(_edges_df(spark, pairs), 4).collect()}
+        assert got == ref_lpa(pairs, 4), f"seed={seed}"
+
+
+def test_lpa_partition_and_permutation_invariant(spark):
+    """Synchronous rounds + total-order tie-break make LPA a pure
+    function of the edge SET — shuffling row order and partition count
+    must not change a single label."""
+    from aisafetyintervention_literatureextraction_spark.operators.graph_analytics import (
+        label_propagation,
+    )
+
+    pairs = _random_graph(33, n=30, m=70)
+    base = sorted(map(tuple, label_propagation(
+        _edges_df(spark, pairs, parts=3), 4).collect()))
+    shuffled = list(reversed(pairs))
+    alt = sorted(map(tuple, label_propagation(
+        _edges_df(spark, shuffled, parts=11), 4).collect()))
+    assert base == alt
+
+
+def test_lpa_plan_no_cartesian_bounded_stats(spark):
+    from aisafetyintervention_literatureextraction_spark.operators.graph_analytics import (
+        label_propagation,
+    )
+
+    df = label_propagation(_edges_df(spark, _random_graph(5, 40, 100)), 3)
+    qe = df._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert len(str(qe.optimizedPlan().stats().sizeInBytes())) < 15
+
+
+# ------------------------------------------------------- link prediction
+
+def ref_link_prediction(pairs, min_common=2, cap=64):
+    """Python mirror of graph_analytics.link_prediction."""
+    adj: dict[int, set[int]] = {}
+    edges = set()
+    for a, b in pairs:
+        if a == b:
+            continue
+        a, b = min(a, b), max(a, b)
+        edges.add((a, b))
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    from collections import Counter
+
+    cnt: Counter = Counter()
+    for c, nbrs in adj.items():
+        if len(adj[c]) > cap:
+            continue
+        ns = sorted(nbrs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                cnt[(ns[i], ns[j])] += 1
+    out = {}
+    for (a, b), common in cnt.items():
+        if common < min_common or (a, b) in edges:
+            continue
+        out[(a, b)] = (common,
+                       round(common / (len(adj[a]) + len(adj[b]) - common), 6))
+    return out
+
+
+def test_link_prediction_square(spark):
+    """4-cycle: each diagonal pair shares both midpoints (common=2,
+    jaccard = 2/(2+2-2) = 1.0); adjacent pairs are excluded."""
+    from aisafetyintervention_literatureextraction_spark.operators.graph_analytics import (
+        link_prediction,
+    )
+
+    g = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    got = {(r["a"], r["b"]): (r["common"], r["jaccard"])
+           for r in link_prediction(_edges_df(spark, g)).collect()}
+    assert got == {(0, 2): (2, 1.0), (1, 3): (2, 1.0)}
+
+
+def test_link_prediction_matches_reference_random(spark):
+    from aisafetyintervention_literatureextraction_spark.operators.graph_analytics import (
+        link_prediction,
+    )
+
+    for seed in (3, 19):
+        pairs = _random_graph(seed, n=35, m=110)
+        got = {(r["a"], r["b"]): (r["common"], r["jaccard"])
+               for r in link_prediction(_edges_df(spark, pairs)).collect()}
+        assert got == ref_link_prediction(pairs), f"seed={seed}"
+
+
+def test_link_prediction_hub_cap(spark):
+    """A star hub above the center-degree cap generates NO candidate
+    pairs through itself — hub suppression — but its own degree still
+    feeds the Jaccard denominator of pairs found through small
+    centers."""
+    from aisafetyintervention_literatureextraction_spark.operators.graph_analytics import (
+        link_prediction,
+    )
+
+    hub = [(100, i) for i in range(10)]          # deg(100) = 10 > cap 4
+    side = [(0, 50), (1, 50), (0, 51), (1, 51)]  # 0,1 share centers 50,51
+    g = hub + side
+    got = {(r["a"], r["b"]): (r["common"], r["jaccard"])
+           for r in link_prediction(_edges_df(spark, g),
+                                    min_common=2, max_center_degree=4).collect()}
+    assert got == ref_link_prediction(g, 2, 4)
+    # pairs through the hub only (e.g. (2,3)) are absent
+    assert (2, 3) not in got
+    # (0,1) found through 50/51; deg(0)=deg(1)=3 (hub edge counts)
+    assert got[(0, 1)] == (2, 0.5)
+
+
+def test_link_prediction_plan_no_cartesian(spark):
+    from aisafetyintervention_literatureextraction_spark.operators.graph_analytics import (
+        link_prediction,
+    )
+
+    df = link_prediction(_edges_df(spark, _random_graph(9, 40, 100)))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
