@@ -121,6 +121,14 @@ def cypher_node_statements(nodes: DataFrame) -> DataFrame:
                 F.format_string("%.9f", F.col("clustering"))
             ),
         ]
+        if "community" in nodes.columns:
+            # community label is a node id — export as the same quoted
+            # string form as n.id so loaders can join them
+            parts += [
+                F.lit(", n.community = "),
+                F.when(F.col("community").isNull(), F.lit("NULL"))
+                .otherwise(cypher_str(F.col("community").cast("string"))),
+            ]
     return nodes.select(F.concat(*parts, F.lit(";")).alias("stmt"))
 
 

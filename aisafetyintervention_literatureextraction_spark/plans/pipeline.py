@@ -447,10 +447,12 @@ def stage_d_materialize(cat: Catalog, cfg: PipelineConfig):
 def stage_e_analytics(cat: Catalog, cfg: PipelineConfig):
     """Optional stage E — graph analytics over the materialized KG:
     one ``kg_node_metrics`` row per kg_node with integer-exact
-    PageRank centrality, degree, triangle count, and local clustering
-    coefficient (operators/graph_analytics.py).  The edge basis is the
-    undirected distinct (src, dst) pair set of kg_edges — pred
-    multiplicity deliberately does not inflate centrality.
+    PageRank centrality, degree, triangle count, local clustering
+    coefficient, and a deterministic LPA community label
+    (operators/graph_analytics.py; isolated nodes are their own
+    singleton community).  The edge basis is the undirected distinct
+    (src, dst) pair set of kg_edges — pred multiplicity deliberately
+    does not inflate centrality.
 
     Like stage D it is a pure recompute from the graph tables, so the
     commit contract is the same: a single run_id-tagged overwrite with
@@ -463,7 +465,11 @@ def stage_e_analytics(cat: Catalog, cfg: PipelineConfig):
     (src, dst, pred) rows), so a claim supported by 50 conversations
     pulls proportionally more centrality than a one-off.  Degree /
     triangles / clustering stay structural (unweighted) either way."""
-    from ..operators.graph_analytics import pagerank_int, triangle_counts
+    from ..operators.graph_analytics import (
+        label_propagation,
+        pagerank_int,
+        triangle_counts,
+    )
 
     run_id = ckpt.new_run_id()
     t0 = time.time()
@@ -495,11 +501,15 @@ def stage_e_analytics(cat: Catalog, cfg: PipelineConfig):
     else:
         pr = pagerank_int(edges, iterations=5)
     tri = triangle_counts(edges)
+    comm = label_propagation(edges, rounds=4).withColumnRenamed(
+        "label", "community"
+    )
     metrics = (
         cat.read("kg_nodes")
         .select(F.col("node_id"))
         .join(pr.withColumnRenamed("node", "node_id"), "node_id", "left")
         .join(tri.withColumnRenamed("node", "node_id"), "node_id", "left")
+        .join(comm.withColumnRenamed("node", "node_id"), "node_id", "left")
         .select(
             "node_id",
             # isolated nodes: no rank mass flows anywhere — 0 metrics
@@ -507,6 +517,9 @@ def stage_e_analytics(cat: Catalog, cfg: PipelineConfig):
             F.coalesce("degree", F.lit(0)).cast("long").alias("degree"),
             F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
             F.coalesce("clustering", F.lit(0.0)).alias("clustering"),
+            # isolated nodes are their own singleton community
+            F.coalesce("community", F.col("node_id"))
+            .cast("long").alias("community"),
         )
     )
     cat.overwrite(metrics, "kg_node_metrics", run_id=run_id)

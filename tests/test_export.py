@@ -119,3 +119,5 @@ def test_export_cypher_includes_metrics_when_table_exists(spark, corpus,
     assert stats["n_node_statements"] == len(lines)
     assert all("n.pagerank = " in ln for ln in lines)
     assert not any("n.pagerank = NULL" in ln for ln in lines)
+    # community labels are node ids — quoted like n.id, never NULL
+    assert all("n.community = '" in ln for ln in lines)

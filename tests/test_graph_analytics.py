@@ -321,7 +321,8 @@ def test_stage_e_kg_node_metrics(spark, corpus, warehouse):
     metrics = cat.read("kg_node_metrics")
     assert metrics.count() == nodes.count()
     assert set(metrics.columns) == {
-        "node_id", "pagerank_int", "degree", "triangles", "clustering"}
+        "node_id", "pagerank_int", "degree", "triangles", "clustering",
+        "community"}
 
     pairs = [
         (r["a"], r["b"])
@@ -337,11 +338,14 @@ def test_stage_e_kg_node_metrics(spark, corpus, warehouse):
         assert got[v]["pagerank_int"] == rank
     for v, (d, t, c) in tri.items():
         assert (got[v]["degree"], got[v]["triangles"], got[v]["clustering"]) == (d, t, c)
+    comm = ref_lpa(pairs, 4)
+    for v, label in comm.items():
+        assert got[v]["community"] == label
     connected = set(pr)
     for v, r in got.items():
         if v not in connected:
             assert (r["pagerank_int"], r["degree"], r["triangles"],
-                    r["clustering"]) == (0, 0, 0, 0.0)
+                    r["clustering"], r["community"]) == (0, 0, 0, 0.0, v)
 
     # idempotent resume: same rows, and stage E re-commits atomically
     before = sorted(map(tuple, metrics.collect()))
