@@ -53,6 +53,7 @@ from aisafetyintervention_literatureextraction_spark.operators.graph_analytics i
     kcore,
     label_propagation,
     link_prediction,
+    personalized_pagerank,
     pagerank_int,
     triangle_counts,
 )
@@ -790,6 +791,22 @@ def q_graph_communities(spark, sf_dir):
     return label_propagation(_copurchase_edges(spark, sf_dir), rounds=4)
 
 
+def q_graph_ppr(spark, sf_dir):
+    """Personalized PageRank from the deterministic seed set
+    {node % 17 == 3} (same rule as graph_khop): teleport returns only
+    to seeds, rank == proximity — integer-exact, oracle unrolls the
+    seeded recurrence in BIGINT SQL."""
+    e = _copurchase_edges(spark, sf_dir)
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    return personalized_pagerank(
+        e, nodes.filter(F.col("node") % 17 == 3), iterations=5
+    )
+
+
 def q_graph_link_prediction(spark, sf_dir):
     """Common-neighbors link prediction (KG completion): non-adjacent
     co-purchase pairs with ≥2 shared neighbors, hub centers (degree
@@ -914,6 +931,41 @@ def _lpa_oracle_sql(rounds: int = 4) -> str:
         )
     parts.append("fin AS (SELECT 1)")
     parts.append(f"SELECT node, label FROM l{rounds}")
+    return "\n".join(parts)
+
+
+def _ppr_oracle_sql(iterations: int = 5) -> str:
+    """Unrolled seeded-PageRank recurrence (teleport to seeds only,
+    BIGINT floor division) — mirrors
+    operators/graph_analytics.personalized_pagerank exactly."""
+    scale = "1000000000::BIGINT"
+    parts = [
+        "WITH " + _GRAPH_ED_SQL + ",",
+        "seeds AS (SELECT node FROM v WHERE node % 17 = 3),",
+        "ss AS (SELECT COUNT(*) AS s FROM seeds),",
+        "od AS (SELECT src AS node, COUNT(*) AS outdeg FROM sym GROUP BY 1),",
+        f"r0 AS (SELECT v.node, CASE WHEN sd.node IS NOT NULL"
+        f" THEN {scale} // (SELECT s FROM ss) ELSE 0::BIGINT END AS rank_int"
+        f" FROM v LEFT JOIN seeds sd ON sd.node = v.node),",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"c{i} AS (SELECT s.dst AS node,"
+            f" SUM((85::BIGINT * r.rank_int) // (100::BIGINT * o.outdeg)) AS m"
+            f" FROM sym s JOIN r{i - 1} r ON r.node = s.src AND r.rank_int > 0"
+            f" JOIN od o ON o.node = s.src GROUP BY s.dst),"
+        )
+        parts.append(
+            f"r{i} AS (SELECT v.node,"
+            f" CASE WHEN sd.node IS NOT NULL THEN"
+            f" (15::BIGINT * {scale}) // (100::BIGINT * (SELECT s FROM ss))"
+            f" ELSE 0::BIGINT END"
+            f" + COALESCE(c.m, 0::BIGINT) AS rank_int"
+            f" FROM v LEFT JOIN seeds sd ON sd.node = v.node"
+            f" LEFT JOIN c{i} c ON c.node = v.node),"
+        )
+    parts.append("fin AS (SELECT 1)")
+    parts.append(f"SELECT node, rank_int FROM r{iterations}")
     return "\n".join(parts)
 
 
@@ -1210,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": q_graph_kcore,
         "graph_communities": q_graph_communities,
         "graph_link_prediction": q_graph_link_prediction,
+        "graph_ppr": q_graph_ppr,
     }
 
 
@@ -1718,6 +1771,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore": _kcore_oracle_sql(3, 16),
         "graph_communities": _lpa_oracle_sql(4),
         "graph_link_prediction": _LINKPRED_ORACLE_SQL,
+        "graph_ppr": _ppr_oracle_sql(5),
         "graph_triangles": f"""
             WITH {_GRAPH_ED_SQL},
             deg AS (SELECT src AS node, COUNT(*) AS degree FROM sym GROUP BY 1),

@@ -186,6 +186,92 @@ def pagerank_int(
     return ranks
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 5,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Seeded ("personalized") PageRank: teleport mass returns ONLY to
+    the seed set, so rank measures proximity to the seeds — the
+    standard "entities most related to X" query over the constructed
+    KG.  Same integer-exact fixed-point contract as ``pagerank_int``
+    (rank × 10^9, floor division, undirected), so the result is
+    engine/partitioning-independent and the oracle unrolls the
+    recurrence in BIGINT SQL:
+
+        rank0(v)  = SCALE DIV s            if v ∈ S else 0
+        rank'(v)  = [(100−d)·SCALE DIV (100·s)  if v ∈ S else 0]
+                  + Σ_{u→v} d·rank(u) DIV (100·outdeg(u))
+
+    with s = |S ∩ V|.  Seeds outside the graph's vertex set are
+    ignored.  Returns ``(node, rank_int)`` over every vertex (0 for
+    vertices the seed mass never reaches).
+
+    Scale note: early iterations have rank concentrated near the
+    seeds, so the contribution join filters ``rank_int > 0`` — the
+    shuffle tracks the reached set (frontier-like), not the graph,
+    until mass spreads.
+    """
+    sym = _ckpt_flat(_symmetrize(edges))
+    vertices = _ckpt_flat(
+        sym.select(F.col("src").alias("node")).distinct()
+    )
+    seed_v = _ckpt_flat(
+        seeds.select(F.col("node").cast("long").alias("node"))
+        .distinct()
+        .join(vertices, "node", "semi")
+    )
+    s = seed_v.count()
+    if s == 0:
+        return vertices.select(
+            "node", F.lit(0).cast("long").alias("rank_int"))
+
+    outdeg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("outdeg"))
+    struct = _ckpt_flat(
+        sym.join(outdeg, sym.src == outdeg.node)
+        .select("src", "dst", "outdeg")
+    )
+    base = _ckpt_flat(
+        vertices.join(
+            seed_v.withColumn("is_seed", F.lit(True)), "node", "left"
+        ).select("node", F.coalesce("is_seed", F.lit(False)).alias("is_seed"))
+    )
+    teleport = ((100 - damping_pct) * PR_SCALE) // (100 * s)
+    ranks = base.select(
+        "node",
+        F.when(F.col("is_seed"), F.lit(PR_SCALE // s))
+        .otherwise(F.lit(0)).cast("long").alias("rank_int"),
+    )
+    for _ in range(iterations):
+        contrib = (
+            struct.join(
+                ranks.filter(F.col("rank_int") > 0),
+                struct.src == ranks.node,
+            )
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"({damping_pct} * rank_int) DIV (100 * outdeg)")
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = _ckpt_flat(
+            base.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.when(F.col("is_seed"), F.lit(teleport))
+                    .otherwise(F.lit(0)).cast("long")
+                    + F.coalesce(F.col("in_mass"), F.lit(0).cast("long"))
+                ).alias("rank_int"),
+            )
+        )
+    return ranks
+
+
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """Per-vertex triangle participation + degree + local clustering
     coefficient over an undirected simple graph ``edges(a, b)``.

@@ -680,3 +680,87 @@ def test_link_prediction_plan_no_cartesian(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# -------------------------------------------------- personalized pagerank
+
+def ref_ppr(pairs, seeds, iterations=5, damping_pct=85):
+    """Python mirror of graph_analytics.personalized_pagerank."""
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = set(adj)
+    S = sorted(set(seeds) & nodes)
+    s = len(S)
+    if s == 0:
+        return {v: 0 for v in nodes}
+    teleport = ((100 - damping_pct) * PR_SCALE) // (100 * s)
+    rank = {v: (PR_SCALE // s if v in set(S) else 0) for v in nodes}
+    for _ in range(iterations):
+        mass = {v: 0 for v in nodes}
+        for u, nbrs in adj.items():
+            if rank[u] <= 0:
+                continue
+            share = (damping_pct * rank[u]) // (100 * len(nbrs))
+            for v in nbrs:
+                mass[v] += share
+        rank = {v: (teleport if v in set(S) else 0) + mass[v]
+                for v in nodes}
+    return rank
+
+
+def test_ppr_matches_reference_random(spark):
+    from aisafetyintervention_literatureextraction_spark.operators.graph_analytics import (
+        personalized_pagerank,
+    )
+
+    for seed in (11, 29):
+        pairs = _random_graph(seed, n=30, m=70)
+        seeds = [v for v in range(30) if v % 5 == 0]
+        sdf = spark.createDataFrame([(v,) for v in seeds], "node long")
+        got = {r["node"]: r["rank_int"]
+               for r in personalized_pagerank(
+                   _edges_df(spark, pairs), sdf, 5).collect()}
+        assert got == ref_ppr(pairs, seeds, 5), f"seed={seed}"
+
+
+def test_ppr_proximity_and_unreached_zero(spark):
+    """On a path 0-1-2-3-4 plus a disconnected edge (10,11), seeding
+    at 0: rank decays with distance from the seed (compared within a
+    parity class — a path is bipartite, so mass oscillates between
+    even and odd levels each iteration), every reached node is
+    positive, and the disconnected component scores exactly 0."""
+    from aisafetyintervention_literatureextraction_spark.operators.graph_analytics import (
+        personalized_pagerank,
+    )
+
+    g = [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)]
+    sdf = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["rank_int"]
+           for r in personalized_pagerank(_edges_df(spark, g), sdf, 5).collect()}
+    assert got == ref_ppr(g, [0], 5)
+    assert got[0] > got[2] > got[4]          # even levels decay
+    assert got[1] > got[3]                   # odd levels decay
+    assert min(got[v] for v in range(5)) > 0
+    assert got[10] == got[11] == 0
+
+
+def test_ppr_out_of_graph_and_empty_seeds(spark):
+    from aisafetyintervention_literatureextraction_spark.operators.graph_analytics import (
+        personalized_pagerank,
+    )
+
+    g = [(0, 1), (1, 2)]
+    # seed 99 is not a vertex: ignored, s counts only in-graph seeds
+    sdf = spark.createDataFrame([(0,), (99,)], "node long")
+    got = {r["node"]: r["rank_int"]
+           for r in personalized_pagerank(_edges_df(spark, g), sdf, 3).collect()}
+    assert got == ref_ppr(g, [0], 3)
+    # no in-graph seeds: all-zero ranks over the vertex set
+    none = spark.createDataFrame([(99,)], "node long")
+    z = {r["node"]: r["rank_int"]
+         for r in personalized_pagerank(_edges_df(spark, g), none, 3).collect()}
+    assert z == {0: 0, 1: 0, 2: 0}
