@@ -55,6 +55,7 @@ from aisafetyintervention_literatureextraction_spark.operators.graph_analytics i
     link_prediction,
     personalized_pagerank,
     pagerank_int,
+    sssp_weighted,
     triangle_counts,
 )
 from aisafetyintervention_literatureextraction_spark.operators.textstats import (
@@ -807,6 +808,23 @@ def q_graph_ppr(spark, sf_dir):
     )
 
 
+def q_graph_sssp(spark, sf_dir):
+    """Weighted shortest paths (synchronous Bellman-Ford, 6 rounds)
+    from the deterministic seed set {node % 17 == 3} over the
+    evidence-weighted co-purchase graph — edge cost = co-occurrence
+    count, min-combined across parallel edges.  Integer-exact min-plus
+    recurrence; oracle unrolls full relaxation round-for-round."""
+    e = _copurchase_edges(spark, sf_dir, weighted=True)
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    return sssp_weighted(
+        e, nodes.filter(F.col("node") % 17 == 3), max_rounds=6, weight="w"
+    )
+
+
 def q_graph_link_prediction(spark, sf_dir):
     """Common-neighbors link prediction (KG completion): non-adjacent
     co-purchase pairs with ≥2 shared neighbors, hub centers (degree
@@ -1032,6 +1050,45 @@ def _pagerank_weighted_oracle_sql(iterations: int = 5) -> str:
         )
     parts.append("fin AS (SELECT 1)")
     parts.append(f"SELECT node, rank_int FROM r{iterations}")
+    return "\n".join(parts)
+
+
+def _sssp_oracle_sql(rounds: int = 6) -> str:
+    """Unrolled Bellman-Ford full relaxation over the weighted
+    co-purchase graph — mirrors operators/graph_analytics.sssp_weighted
+    (frontier relaxation computes the identical round-i invariant:
+    cheapest ≤ i-edge path from the seed set).  Each d{i} is
+    referenced twice (next round's relax + its own union), so it is
+    MATERIALIZED like the kcore peel."""
+    parts = [
+        """WITH
+    li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edw AS (
+      SELECT CAST(x.l_partkey AS BIGINT) AS a, CAST(y.l_partkey AS BIGINT) AS b,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+                         AND x.l_partkey < y.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    symw AS (SELECT src, dst, MIN(w) AS w FROM (
+        SELECT a AS src, b AS dst, w FROM edw
+        UNION ALL SELECT b, a, w FROM edw) GROUP BY 1, 2),
+    v AS (SELECT DISTINCT src AS node FROM symw),""",
+        "d0 AS MATERIALIZED (SELECT node, 0::BIGINT AS dist"
+        " FROM v WHERE node % 17 = 3),",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"c{i} AS (SELECT s.dst AS node, MIN(d.dist + s.w) AS nd"
+            f" FROM symw s JOIN d{i - 1} d ON d.node = s.src GROUP BY 1),"
+        )
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM ("
+            f" SELECT node, dist FROM d{i - 1}"
+            f" UNION ALL SELECT node, nd FROM c{i}) GROUP BY 1),"
+        )
+    parts.append("fin AS (SELECT 1)")
+    parts.append(f"SELECT node, dist FROM d{rounds}")
     return "\n".join(parts)
 
 
@@ -1263,6 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_communities": q_graph_communities,
         "graph_link_prediction": q_graph_link_prediction,
         "graph_ppr": q_graph_ppr,
+        "graph_sssp": q_graph_sssp,
     }
 
 
@@ -1772,6 +1830,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_communities": _lpa_oracle_sql(4),
         "graph_link_prediction": _LINKPRED_ORACLE_SQL,
         "graph_ppr": _ppr_oracle_sql(5),
+        "graph_sssp": _sssp_oracle_sql(6),
         "graph_triangles": f"""
             WITH {_GRAPH_ED_SQL},
             deg AS (SELECT src AS node, COUNT(*) AS degree FROM sym GROUP BY 1),

@@ -407,6 +407,90 @@ def bfs_khop(
     return visited
 
 
+def sssp_weighted(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_rounds: int = 6,
+    weight: str | None = None,
+) -> DataFrame:
+    """Weighted shortest-path distance from a seed set: synchronous
+    Bellman-Ford, ``max_rounds`` relaxation rounds.  Over the
+    constructed KG this answers "how strongly is X connected to the
+    seed concepts" with real path costs (e.g. inverse evidence counts)
+    where ``bfs_khop`` only counts hops.
+
+    All-integer min-plus arithmetic, so the result is bit-exact on any
+    engine/partitioning and an unrolled-SQL oracle can replay it:
+    after round i, ``dist(v)`` is EXACTLY the cheapest path from the
+    seed set using ≤ i edges (the classic Bellman-Ford invariant) —
+    a capped run is well-defined the same way ``kcore``'s capped peel
+    is.  Returns ``(node, dist)`` for vertices reached within the
+    round cap (seeds at 0); unreached vertices are absent.
+
+    ``weight`` names a positive integer cost column; parallel edges
+    combine by MIN cost; ``None`` means unit cost (= hop count).
+    Undirected: every edge is walkable both ways.
+
+    Scale shape: the relaxation join touches only the IMPROVED set
+    (nodes whose dist dropped last round) — per-round shuffle tracks
+    the active frontier, not the graph, and the loop exits early at
+    the fixpoint.  Frontier relaxation computes the same round-i
+    invariant as full-edge relaxation: a node propagates exactly when
+    its value improves, and older (larger) values it would re-send
+    are already dominated.  Stats sandwich per round (r4 fix).
+    """
+    if weight is None:
+        e = _symmetrize(edges).withColumn("w", F.lit(1).cast("long"))
+    else:
+        d = edges.select(
+            F.col("a").cast("long").alias("a"),
+            F.col("b").cast("long").alias("b"),
+            F.col(weight).cast("long").alias("w"),
+        ).filter("a <> b")
+        e = (
+            d.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
+            .union(d.select(F.col("b").alias("src"),
+                            F.col("a").alias("dst"), "w"))
+            .groupBy("src", "dst")
+            .agg(F.min("w").alias("w"))
+        )
+    sym = _ckpt_flat(e)
+    vertices = sym.select(F.col("src").alias("node")).distinct()
+    visited = _ckpt_flat(
+        seeds.select(F.col("node").cast("long").alias("node"))
+        .distinct()
+        .join(vertices, "node", "semi")
+        .withColumn("dist", F.lit(0).cast("long"))
+    )
+    frontier = visited
+    for _ in range(max_rounds):
+        cand = (
+            sym.join(frontier, sym.src == frontier.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("nd"),
+            )
+            .groupBy("node")
+            .agg(F.min("nd").alias("nd"))
+        )
+        improved = (
+            cand.join(visited, "node", "left")
+            .filter(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
+            .select("node", F.col("nd").alias("dist"))
+        )
+        cached = improved.persist()
+        n_improved = cached.count()
+        frontier = cached.localCheckpoint(eager=True)
+        cached.unpersist()
+        if n_improved == 0:
+            break
+        visited = _ckpt_flat(
+            visited.union(frontier).groupBy("node").agg(
+                F.min("dist").alias("dist"))
+        )
+    return visited
+
+
 def label_propagation(
     edges: DataFrame,
     rounds: int = 4,

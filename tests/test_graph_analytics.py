@@ -764,3 +764,107 @@ def test_ppr_out_of_graph_and_empty_seeds(spark):
     z = {r["node"]: r["rank_int"]
          for r in personalized_pagerank(_edges_df(spark, g), none, 3).collect()}
     assert z == {0: 0, 1: 0, 2: 0}
+
+
+# --------------------------------------------------------- weighted sssp
+
+def ref_sssp(wpairs, seeds, max_rounds=6):
+    """Python mirror of graph_analytics.sssp_weighted: synchronous
+    full-relaxation Bellman-Ford capped at max_rounds (dist after
+    round i = cheapest path using <= i edges)."""
+    adj: dict[int, dict[int, int]] = {}
+    for a, b, w in wpairs:
+        if a == b:
+            continue
+        for u, v in ((a, b), (b, a)):
+            cur = adj.setdefault(u, {})
+            cur[v] = min(cur.get(v, w), w)
+    nodes = set(adj)
+    dist = {s: 0 for s in set(seeds) & nodes}
+    for _ in range(max_rounds):
+        nxt = dict(dist)
+        for u, d in dist.items():
+            for v, w in adj[u].items():
+                if v not in nxt or d + w < nxt[v]:
+                    nxt[v] = d + w
+        if nxt == dist:
+            break
+        dist = nxt
+    return dist
+
+
+def _wedges_df(spark, wpairs, parts=5):
+    return spark.createDataFrame(
+        [(int(a), int(b), int(w)) for a, b, w in wpairs],
+        "a long, b long, w long",
+    ).repartition(parts)
+
+
+def test_sssp_matches_reference_random(spark):
+    from aisafetyintervention_literatureextraction_spark.operators.graph_analytics import (
+        sssp_weighted,
+    )
+
+    for seed in (13, 37):
+        rng = random.Random(seed * 1000)
+        wpairs = [(a, b, rng.randrange(1, 9)) for a, b in
+                  _random_graph(seed, n=30, m=70)]
+        seeds = [v for v in range(30) if v % 7 == 1]
+        sdf = spark.createDataFrame([(v,) for v in seeds], "node long")
+        got = {r["node"]: r["dist"]
+               for r in sssp_weighted(
+                   _wedges_df(spark, wpairs), sdf, 6, weight="w").collect()}
+        assert got == ref_sssp(wpairs, seeds, 6), f"seed={seed}"
+
+
+def test_sssp_weighted_path_beats_direct_edge(spark):
+    """Triangle 0-1-2 with a heavy direct edge (0,2,10) and a light
+    two-hop detour (0,1,1)+(1,2,2): dist(2) = 3 via the detour, and
+    unit-cost mode (weight=None) gives hop counts instead."""
+    from aisafetyintervention_literatureextraction_spark.operators.graph_analytics import (
+        sssp_weighted,
+    )
+
+    g = [(0, 1, 1), (1, 2, 2), (0, 2, 10), (3, 4, 1)]
+    sdf = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["dist"]
+           for r in sssp_weighted(_wedges_df(spark, g), sdf, 6,
+                                  weight="w").collect()}
+    assert got == {0: 0, 1: 1, 2: 3}  # (3,4) component unreached
+    hops = {r["node"]: r["dist"]
+            for r in sssp_weighted(_wedges_df(spark, g), sdf, 6).collect()}
+    assert hops == {0: 0, 1: 1, 2: 1}
+
+
+def test_sssp_round_cap_invariant(spark):
+    """On a weighted path 0-1-2-3-4 (w=2 each), round cap r reaches
+    exactly r hops: Bellman-Ford's <=i-edge invariant, the semantics
+    the unrolled oracle replays."""
+    from aisafetyintervention_literatureextraction_spark.operators.graph_analytics import (
+        sssp_weighted,
+    )
+
+    g = [(i, i + 1, 2) for i in range(4)]
+    sdf = spark.createDataFrame([(0,)], "node long")
+    for r in (1, 2, 4):
+        got = {row["node"]: row["dist"]
+               for row in sssp_weighted(_wedges_df(spark, g), sdf, r,
+                                        weight="w").collect()}
+        assert got == {i: 2 * i for i in range(min(r, 4) + 1)}, f"rounds={r}"
+
+
+def test_sssp_parallel_edge_min_combine_and_empty_seeds(spark):
+    from aisafetyintervention_literatureextraction_spark.operators.graph_analytics import (
+        sssp_weighted,
+    )
+
+    g = [(0, 1, 5), (0, 1, 2), (1, 0, 7)]  # parallel edges, min wins
+    sdf = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["dist"]
+           for r in sssp_weighted(_wedges_df(spark, g), sdf, 3,
+                                  weight="w").collect()}
+    assert got == {0: 0, 1: 2}
+    # out-of-graph-only seeds: empty result
+    none = spark.createDataFrame([(99,)], "node long")
+    assert sssp_weighted(_wedges_df(spark, g), none, 3,
+                         weight="w").count() == 0
