@@ -991,20 +991,23 @@ _LINKPRED_ORACLE_SQL = (
     "WITH " + _GRAPH_ED_SQL + """,
     deg AS (SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY 1),
     ctr AS (SELECT node FROM deg WHERE deg <= 64),
-    nb AS (SELECT s.src AS c, s.dst AS n
-           FROM sym s JOIN ctr ON ctr.node = s.src),
+    nb AS (SELECT s.src AS c, s.dst AS n, d.deg AS cdeg
+           FROM sym s JOIN ctr ON ctr.node = s.src
+                      JOIN deg d ON d.node = s.src),
     cn AS (
-      SELECT l.n AS a, r.n AS b, COUNT(*) AS common
+      SELECT l.n AS a, r.n AS b, COUNT(*) AS common,
+             SUM(1000000000::BIGINT // l.cdeg) AS ra_int
       FROM nb l JOIN nb r ON l.c = r.c AND l.n < r.n
       GROUP BY 1, 2 HAVING COUNT(*) >= 2
     ),
     miss AS (
-      SELECT cn.a, cn.b, cn.common
+      SELECT cn.a, cn.b, cn.common, cn.ra_int
       FROM cn LEFT JOIN ed ON ed.a = cn.a AND ed.b = cn.b
       WHERE ed.a IS NULL
     )
     SELECT m.a, m.b, CAST(m.common AS BIGINT) AS common,
-           ROUND(m.common / (da.deg + db.deg - m.common), 6) AS jaccard
+           ROUND(m.common / (da.deg + db.deg - m.common), 6) AS jaccard,
+           CAST(m.ra_int AS BIGINT) AS ra_int
     FROM miss m
     JOIN deg da ON da.node = m.a
     JOIN deg db ON db.node = m.b

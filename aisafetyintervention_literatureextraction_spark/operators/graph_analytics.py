@@ -556,11 +556,18 @@ def link_prediction(
     stated directly — the classic common-neighbors link predictor
     (Liben-Nowell & Kleinberg 2003).
 
-    Returns ``(a, b, common, jaccard)`` with a < b, ``common`` ≥
-    ``min_common``, pair not already an edge;
+    Returns ``(a, b, common, jaccard, ra_int)`` with a < b, ``common``
+    ≥ ``min_common``, pair not already an edge;
     ``jaccard = common / (deg(a) + deg(b) − common)`` rounded to 6
     places (one float division of exact ints — engine-stable, same
-    contract as triangle_counts.clustering).
+    contract as triangle_counts.clustering).  ``ra_int`` is the
+    resource-allocation index (Zhou et al. 2009) in scaled int64:
+    Σ over common neighbors c of ``PR_SCALE DIV deg(c)`` — an
+    integer SUM, so unlike Adamic-Adar's Σ 1/log deg (a float sum,
+    order-dependent under distributed reduce) it is bit-exact on any
+    engine/partitioning and oracle-checkable.  RA weights rare shared
+    neighbors over promiscuous ones — the better KG-completion signal
+    when hub concepts dominate.
 
     Scale shape: the pair generator is a wedge self-join on the
     neighbor lists, whose fan-out is Σ deg(c)² over wedge CENTERS — a
@@ -588,17 +595,22 @@ def link_prediction(
     deg = _ckpt_flat(
         sym.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
     )
-    centers = deg.filter(F.col("deg") <= max_center_degree).select("node")
-    nbrs = sym.join(
-        centers.withColumnRenamed("node", "src"), "src", "semi"
+    centers = deg.filter(F.col("deg") <= max_center_degree).select(
+        F.col("node").alias("src"), F.col("deg").alias("cdeg")
     )
-    left = nbrs.select(F.col("src").alias("c"), F.col("dst").alias("a"))
+    # wedge rows carry the CENTER's degree so RA needs no extra join
+    nbrs = sym.join(centers, "src")
+    left = nbrs.select(F.col("src").alias("c"), F.col("dst").alias("a"),
+                       "cdeg")
     right = nbrs.select(F.col("src").alias("c"), F.col("dst").alias("b"))
     cn = (
         left.join(right, "c")
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
-        .agg(F.count("*").alias("common"))
+        .agg(
+            F.count("*").alias("common"),
+            F.sum(F.expr(f"{PR_SCALE} DIV cdeg")).alias("ra_int"),
+        )
         .filter(F.col("common") >= min_common)
         .join(e, ["a", "b"], "left_anti")
     )
@@ -615,6 +627,7 @@ def link_prediction(
                 / (F.col("da") + F.col("db") - F.col("common")),
                 6,
             ).alias("jaccard"),
+            F.col("ra_int").cast("long").alias("ra_int"),
         )
     )
 

@@ -608,19 +608,23 @@ def ref_link_prediction(pairs, min_common=2, cap=64):
     from collections import Counter
 
     cnt: Counter = Counter()
+    ra: Counter = Counter()
     for c, nbrs in adj.items():
         if len(adj[c]) > cap:
             continue
+        share = 10**9 // len(adj[c])
         ns = sorted(nbrs)
         for i in range(len(ns)):
             for j in range(i + 1, len(ns)):
                 cnt[(ns[i], ns[j])] += 1
+                ra[(ns[i], ns[j])] += share
     out = {}
     for (a, b), common in cnt.items():
         if common < min_common or (a, b) in edges:
             continue
         out[(a, b)] = (common,
-                       round(common / (len(adj[a]) + len(adj[b]) - common), 6))
+                       round(common / (len(adj[a]) + len(adj[b]) - common), 6),
+                       ra[(a, b)])
     return out
 
 
@@ -632,9 +636,10 @@ def test_link_prediction_square(spark):
     )
 
     g = [(0, 1), (1, 2), (2, 3), (3, 0)]
-    got = {(r["a"], r["b"]): (r["common"], r["jaccard"])
+    got = {(r["a"], r["b"]): (r["common"], r["jaccard"], r["ra_int"])
            for r in link_prediction(_edges_df(spark, g)).collect()}
-    assert got == {(0, 2): (2, 1.0), (1, 3): (2, 1.0)}
+    # RA: both midpoints have deg 2 -> 2 * (10^9 // 2) = 10^9
+    assert got == {(0, 2): (2, 1.0, 10**9), (1, 3): (2, 1.0, 10**9)}
 
 
 def test_link_prediction_matches_reference_random(spark):
@@ -644,7 +649,7 @@ def test_link_prediction_matches_reference_random(spark):
 
     for seed in (3, 19):
         pairs = _random_graph(seed, n=35, m=110)
-        got = {(r["a"], r["b"]): (r["common"], r["jaccard"])
+        got = {(r["a"], r["b"]): (r["common"], r["jaccard"], r["ra_int"])
                for r in link_prediction(_edges_df(spark, pairs)).collect()}
         assert got == ref_link_prediction(pairs), f"seed={seed}"
 
@@ -661,14 +666,15 @@ def test_link_prediction_hub_cap(spark):
     hub = [(100, i) for i in range(10)]          # deg(100) = 10 > cap 4
     side = [(0, 50), (1, 50), (0, 51), (1, 51)]  # 0,1 share centers 50,51
     g = hub + side
-    got = {(r["a"], r["b"]): (r["common"], r["jaccard"])
+    got = {(r["a"], r["b"]): (r["common"], r["jaccard"], r["ra_int"])
            for r in link_prediction(_edges_df(spark, g),
                                     min_common=2, max_center_degree=4).collect()}
     assert got == ref_link_prediction(g, 2, 4)
     # pairs through the hub only (e.g. (2,3)) are absent
     assert (2, 3) not in got
-    # (0,1) found through 50/51; deg(0)=deg(1)=3 (hub edge counts)
-    assert got[(0, 1)] == (2, 0.5)
+    # (0,1) found through 50/51 (deg 2 each -> RA = 10^9);
+    # deg(0)=deg(1)=3 (hub edge counts) for the jaccard denominator
+    assert got[(0, 1)] == (2, 0.5, 10**9)
 
 
 def test_link_prediction_plan_no_cartesian(spark):
@@ -791,13 +797,6 @@ def ref_sssp(wpairs, seeds, max_rounds=6):
             break
         dist = nxt
     return dist
-
-
-def _wedges_df(spark, wpairs, parts=5):
-    return spark.createDataFrame(
-        [(int(a), int(b), int(w)) for a, b, w in wpairs],
-        "a long, b long, w long",
-    ).repartition(parts)
 
 
 def test_sssp_matches_reference_random(spark):
