@@ -3,13 +3,17 @@
 The reference stops at graph *construction* (db.py upserts into
 FalkorDB and leaves analysis to Cypher).  A 100 TB training-data
 pipeline needs the analysis side too: which entities are central
-(PageRank), how clustered the mention graph is (triangles /
-clustering coefficient), and what sits within k hops of a seed set
-(BFS).  These are the classic distributed-graph kernels, implemented
-Spark-first as iterative hash-joins — the same execution shape the
-north rule prescribes for connected components.
+(PageRank, weighted and personalized), how clustered the mention
+graph is (triangles / clustering coefficient), what sits within k
+hops or at what path cost from a seed set (BFS, weighted SSSP),
+which dense regions form communities (LPA, k-core), and which edges
+the extractor likely missed (link prediction: common neighbors /
+Jaccard / resource allocation).  These are the classic
+distributed-graph kernels, implemented Spark-first as iterative
+hash-joins — the same execution shape the north rule prescribes for
+connected components.
 
-Scale design notes (shared by all three kernels):
+Scale design notes (shared by every kernel):
 
 - **Integer-exact math.**  ``pagerank_int`` runs entirely in scaled
   int64 arithmetic (rank × 10^9, floor division), so results are

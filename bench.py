@@ -329,33 +329,43 @@ def ensure_graph_corpus(spark, n_nodes: int = 4_000_000,
     return path
 
 
+GRAPH_KERNELS = ("pagerank", "triangles", "bfs", "lpa", "sssp", "ppr")
+
+
 def bench_graph_kernels(spark, path: str) -> dict:
-    """Walls for the three graph-analytics kernels on the synthetic
+    """Walls for the graph-analytics kernel family on the synthetic
     graph corpus — the action for each is a full count() of the
     result relation (no collect of data rows)."""
     from aisafetyintervention_literatureextraction_spark.operators.graph_analytics import (
-        bfs_khop, pagerank_int, triangle_counts,
+        bfs_khop, label_propagation, pagerank_int, personalized_pagerank,
+        sssp_weighted, triangle_counts,
     )
     from pyspark.sql import functions as F
 
     edges = spark.read.parquet(path)
     n_edges = edges.count()  # warms the scan; corpus is deterministic
     out = {"n_edges": n_edges}
-    t0 = time.time()
-    out["pagerank_rows"] = pagerank_int(edges, iterations=5).count()
-    out["pagerank_wall_s"] = round(time.time() - t0, 2)
-    t0 = time.time()
-    out["triangles_rows"] = triangle_counts(edges).count()
-    out["triangles_wall_s"] = round(time.time() - t0, 2)
     seeds = (
         edges.select(F.col("a").alias("node")).distinct()
         .filter(F.col("node") % 4096 == 7)
-    )
-    t0 = time.time()
-    out["bfs_rows"] = bfs_khop(edges, seeds, max_hops=3).count()
-    out["bfs_wall_s"] = round(time.time() - t0, 2)
+    ).localCheckpoint(eager=True)
+    runs = {
+        "pagerank": lambda: pagerank_int(edges, iterations=5),
+        "triangles": lambda: triangle_counts(edges),
+        "bfs": lambda: bfs_khop(edges, seeds, max_hops=3),
+        # 2 LPA rounds: one round ≈ one pagerank round + a vote
+        # groupBy, so 2 rounds keeps the family's total wall bounded
+        # while still exercising the iterative join shape
+        "lpa": lambda: label_propagation(edges, rounds=2),
+        "sssp": lambda: sssp_weighted(edges, seeds, max_rounds=6),
+        "ppr": lambda: personalized_pagerank(edges, seeds, iterations=5),
+    }
+    for name in GRAPH_KERNELS:
+        t0 = time.time()
+        out[f"{name}_rows"] = runs[name]().count()
+        out[f"{name}_wall_s"] = round(time.time() - t0, 2)
     out["total_wall_s"] = round(
-        out["pagerank_wall_s"] + out["triangles_wall_s"] + out["bfs_wall_s"], 2
+        sum(out[f"{k}_wall_s"] for k in GRAPH_KERNELS), 2
     )
     return out
 
@@ -673,9 +683,15 @@ def main() -> None:
                     help="decode-bound PDF corpus (~110 MB) at 4 and 16 "
                          "cores: docs/s + MB/s + scaling efficiency")
     ap.add_argument("--graph-scale", action="store_true",
-                    help="graph-analytics kernels (PageRank/triangles/"
-                         "BFS) on a 6M-edge synthetic graph at 4 and "
-                         "16 cores: walls + per-kernel efficiency")
+                    help="graph-analytics kernel family (PageRank/"
+                         "triangles/BFS/LPA/SSSP/PPR) on a synthetic "
+                         "graph at 4 and 16 cores: walls + per-kernel "
+                         "efficiency")
+    ap.add_argument("--graph-nodes", type=int, default=4_000_000,
+                    help="graph-scale corpus: ring vertices (edges = "
+                         "2x this + --graph-random)")
+    ap.add_argument("--graph-random", type=int, default=16_000_000,
+                    help="graph-scale corpus: hash-random long edges")
     ap.add_argument("--soak", action="store_true",
                     help="sf1-class soak: heavy dedup/CC queries at 10x "
                          "docs with task-time spread telemetry")
@@ -768,7 +784,9 @@ def main() -> None:
                               shuffle_partitions=64,
                               extra_conf={"spark.driver.memory": "48g"})
             try:
-                path = ensure_graph_corpus(spark)
+                path = ensure_graph_corpus(
+                    spark, n_nodes=args.graph_nodes,
+                    n_random=args.graph_random)
                 h0 = _host_sample()
                 levels[cpus] = bench_graph_kernels(spark, path)
                 levels[cpus]["host"] = _host_delta(h0, _host_sample())
@@ -778,7 +796,7 @@ def main() -> None:
         eff = {
             k: round((levels[4][f"{k}_wall_s"]
                       / max(levels[16][f"{k}_wall_s"], 1e-9)) / 4, 3)
-            for k in ("pagerank", "triangles", "bfs", "total")
+            for k in GRAPH_KERNELS + ("total",)
         }
         print(json.dumps({
             "metric": "graph_kernel_scaling",
