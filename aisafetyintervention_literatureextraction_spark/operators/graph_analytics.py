@@ -212,10 +212,23 @@ def personalized_pagerank(
     ignored.  Returns ``(node, rank_int)`` over every vertex (0 for
     vertices the seed mass never reaches).
 
-    Scale note: early iterations have rank concentrated near the
-    seeds, so the contribution join filters ``rank_int > 0`` — the
-    shuffle tracks the reached set (frontier-like), not the graph,
-    until mass spreads.
+    Scale note: the per-iteration state is the REACHED set only
+    (vertices with positive rank) — a zero-rank vertex contributes
+    nothing to the recurrence, so the full-vertex-state variant's
+    per-round |V|-row left join + |V|-row checkpoint is pure
+    overhead.  Measured head-to-head (interleaved in ONE session so
+    JVM warmup/host weather hit both variants, 24M edges / 977
+    seeds, local[4]): reached-set 204.4 / 190.8 s vs full-state
+    213.5 / 197.2 s — a modest ~4% here because the bench seed set
+    reaches ~all vertices by round 3; for the operator's real query
+    shape (a handful of seed entities in a 100 TB KG) the reached
+    set stays orders of magnitude smaller than |V| and every round's
+    shuffle/checkpoint tracks it, not the graph.  Each round is
+    ``(seed teleport rows) ∪ (contributions)`` → sum-combine → drop
+    zeros; unreached vertices are zero-filled by ONE left join at
+    the end.  (Bench-methodology caveat from the same experiment: a
+    kernel's wall measured solo in a fresh JVM is ~2× its wall in
+    family position — never compare across those regimes.)
     """
     sym = _ckpt_flat(_symmetrize(edges))
     vertices = _ckpt_flat(
@@ -237,43 +250,35 @@ def personalized_pagerank(
         sym.join(outdeg, sym.src == outdeg.node)
         .select("src", "dst", "outdeg")
     )
-    base = _ckpt_flat(
-        vertices.join(
-            seed_v.withColumn("is_seed", F.lit(True)), "node", "left"
-        ).select("node", F.coalesce("is_seed", F.lit(False)).alias("is_seed"))
-    )
     teleport = ((100 - damping_pct) * PR_SCALE) // (100 * s)
-    ranks = base.select(
-        "node",
-        F.when(F.col("is_seed"), F.lit(PR_SCALE // s))
-        .otherwise(F.lit(0)).cast("long").alias("rank_int"),
-    )
+    # reached-set state: only vertices with rank > 0
+    ranks = seed_v.select(
+        "node", F.lit(PR_SCALE // s).cast("long").alias("rank_int"))
     for _ in range(iterations):
         contrib = (
-            struct.join(
-                ranks.filter(F.col("rank_int") > 0),
-                struct.src == ranks.node,
-            )
+            struct.join(ranks, struct.src == ranks.node)
             .select(
                 F.col("dst").alias("node"),
                 F.expr(f"({damping_pct} * rank_int) DIV (100 * outdeg)")
-                .alias("c"),
+                .alias("part"),
             )
-            .groupBy("node")
-            .agg(F.sum("c").alias("in_mass"))
         )
         ranks = _ckpt_flat(
-            base.join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    F.when(F.col("is_seed"), F.lit(teleport))
-                    .otherwise(F.lit(0)).cast("long")
-                    + F.coalesce(F.col("in_mass"), F.lit(0).cast("long"))
-                ).alias("rank_int"),
-            )
+            seed_v.select(
+                "node", F.lit(teleport).cast("long").alias("part"))
+            .union(contrib)
+            .groupBy("node")
+            .agg(F.sum("part").alias("rank_int"))
+            .filter(F.col("rank_int") > 0)
         )
-    return ranks
+    return (
+        vertices.join(ranks, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("rank_int"), F.lit(0).cast("long"))
+            .alias("rank_int"),
+        )
+    )
 
 
 def triangle_counts(edges: DataFrame) -> DataFrame:

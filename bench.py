@@ -332,10 +332,12 @@ def ensure_graph_corpus(spark, n_nodes: int = 4_000_000,
 GRAPH_KERNELS = ("pagerank", "triangles", "bfs", "lpa", "sssp", "ppr")
 
 
-def bench_graph_kernels(spark, path: str) -> dict:
+def bench_graph_kernels(spark, path: str, only: tuple = ()) -> dict:
     """Walls for the graph-analytics kernel family on the synthetic
     graph corpus — the action for each is a full count() of the
-    result relation (no collect of data rows)."""
+    result relation (no collect of data rows).  ``only`` restricts to
+    a subset of GRAPH_KERNELS (re-measuring one kernel after a fix
+    without paying for the family)."""
     from aisafetyintervention_literatureextraction_spark.operators.graph_analytics import (
         bfs_khop, label_propagation, pagerank_int, personalized_pagerank,
         sssp_weighted, triangle_counts,
@@ -360,12 +362,13 @@ def bench_graph_kernels(spark, path: str) -> dict:
         "sssp": lambda: sssp_weighted(edges, seeds, max_rounds=6),
         "ppr": lambda: personalized_pagerank(edges, seeds, iterations=5),
     }
-    for name in GRAPH_KERNELS:
+    sel = tuple(only) or GRAPH_KERNELS
+    for name in sel:
         t0 = time.time()
         out[f"{name}_rows"] = runs[name]().count()
         out[f"{name}_wall_s"] = round(time.time() - t0, 2)
     out["total_wall_s"] = round(
-        sum(out[f"{k}_wall_s"] for k in GRAPH_KERNELS), 2
+        sum(out[f"{k}_wall_s"] for k in sel), 2
     )
     return out
 
@@ -692,6 +695,9 @@ def main() -> None:
                          "2x this + --graph-random)")
     ap.add_argument("--graph-random", type=int, default=16_000_000,
                     help="graph-scale corpus: hash-random long edges")
+    ap.add_argument("--graph-only", type=str, default="",
+                    help="comma list restricting --graph-scale to a "
+                         "kernel subset (e.g. ppr,sssp)")
     ap.add_argument("--soak", action="store_true",
                     help="sf1-class soak: heavy dedup/CC queries at 10x "
                          "docs with task-time spread telemetry")
@@ -788,7 +794,9 @@ def main() -> None:
                     spark, n_nodes=args.graph_nodes,
                     n_random=args.graph_random)
                 h0 = _host_sample()
-                levels[cpus] = bench_graph_kernels(spark, path)
+                only = tuple(
+                    k for k in args.graph_only.split(",") if k)
+                levels[cpus] = bench_graph_kernels(spark, path, only=only)
                 levels[cpus]["host"] = _host_delta(h0, _host_sample())
                 degraded = degraded or levels[cpus]["host"]["degraded"]
             finally:
@@ -797,6 +805,7 @@ def main() -> None:
             k: round((levels[4][f"{k}_wall_s"]
                       / max(levels[16][f"{k}_wall_s"], 1e-9)) / 4, 3)
             for k in GRAPH_KERNELS + ("total",)
+            if f"{k}_wall_s" in levels[4]
         }
         print(json.dumps({
             "metric": "graph_kernel_scaling",
