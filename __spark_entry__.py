@@ -51,6 +51,7 @@ from aisafetyintervention_literatureextraction_spark.sources.raw_files import (
 from aisafetyintervention_literatureextraction_spark.operators.graph_analytics import (
     bfs_khop,
     kcore,
+    ktruss,
     label_propagation,
     link_prediction,
     personalized_pagerank,
@@ -784,6 +785,20 @@ def q_graph_kcore(spark, sf_dir):
     return kcore(_copurchase_edges(spark, sf_dir), k=3, max_rounds=16)
 
 
+def q_graph_ktruss(spark, sf_dir):
+    """3-truss of the co-purchase graph (every surviving relation
+    corroborated by a triangle closure WITHIN the surviving set) by
+    synchronous edge peeling — the edge-cohesion analog of
+    graph_kcore's vertex peel — capped at 8 rounds, above the
+    measured peel depth of every test SF (2 at sf0.001 / 2244 edges
+    survive; 2 at sf0.01 / 181 survive — k=3 keeps the result
+    non-empty at the driver's gate SF where the 4-truss is empty),
+    so the capped result IS the 3-truss there and the oracle unrolls
+    the identical rounds in SQL.  Returns surviving canonical edges
+    with their in-truss triangle support."""
+    return ktruss(_copurchase_edges(spark, sf_dir), k=3, max_rounds=8)
+
+
 def q_graph_communities(spark, sf_dir):
     """Synchronous label-propagation communities (4 rounds,
     smallest-label tie-break) on the co-purchase graph — the
@@ -922,6 +937,54 @@ def _kcore_oracle_sql(k: int = 3, rounds: int = 16) -> str:
     parts.append(
         f"SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree"
         f" FROM live{rounds} GROUP BY 1"
+    )
+    return "\n".join(parts)
+
+
+def _ktruss_oracle_sql(k: int = 4, rounds: int = 8) -> str:
+    """Unrolled synchronous k-truss edge peel: each round counts every
+    edge's triangle support as |N(a) ∩ N(b)| over the surviving edge
+    set and keeps edges with support >= k-2; the final SELECT measures
+    support on the last edge set — mirroring
+    operators/graph_analytics.ktruss exactly (rounds past the fixpoint
+    are no-ops on both sides, so Spark's early break and the SQL's
+    fixed unroll agree).  e{i}/sy{i} are referenced multiple times per
+    round, so they MUST be materialized (same 2^rounds base-scan
+    argument as the kcore oracle)."""
+    parts = [
+        "WITH " + _GRAPH_ED_SQL + ",",
+        "e0 AS MATERIALIZED (SELECT a, b FROM ed),",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"sy{i} AS MATERIALIZED (SELECT a AS s, b AS t FROM e{p}"
+            f" UNION ALL SELECT b, a FROM e{p}),"
+        )
+        parts.append(
+            f"sup{i} AS (SELECT e.a, e.b, COUNT(*) AS c"
+            f" FROM e{p} e"
+            f" JOIN sy{i} x ON x.s = e.a"
+            f" JOIN sy{i} y ON y.s = e.b AND y.t = x.t"
+            f" GROUP BY e.a, e.b),"
+        )
+        parts.append(
+            f"e{i} AS MATERIALIZED (SELECT e.a, e.b FROM e{p} e"
+            f" LEFT JOIN sup{i} s ON s.a = e.a AND s.b = e.b"
+            f" WHERE COALESCE(s.c, 0) >= {k - 2}),"
+        )
+    parts.append(
+        f"syf AS MATERIALIZED (SELECT a AS s, b AS t FROM e{rounds}"
+        f" UNION ALL SELECT b, a FROM e{rounds}),"
+    )
+    parts.append(
+        f"supf AS (SELECT e.a, e.b, COUNT(*) AS c FROM e{rounds} e"
+        f" JOIN syf x ON x.s = e.a JOIN syf y ON y.s = e.b AND y.t = x.t"
+        f" GROUP BY e.a, e.b)"
+    )
+    parts.append(
+        f"SELECT e.a, e.b, CAST(COALESCE(s.c, 0) AS BIGINT) AS support"
+        f" FROM e{rounds} e LEFT JOIN supf s ON s.a = e.a AND s.b = e.b"
     )
     return "\n".join(parts)
 
@@ -1320,6 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "graph_khop": q_graph_khop,
         "graph_kcore": q_graph_kcore,
+        "graph_ktruss": q_graph_ktruss,
         "graph_communities": q_graph_communities,
         "graph_link_prediction": q_graph_link_prediction,
         "graph_ppr": q_graph_ppr,
@@ -1830,6 +1894,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _pagerank_oracle_sql(5),
         "graph_pagerank_weighted": _pagerank_weighted_oracle_sql(5),
         "graph_kcore": _kcore_oracle_sql(3, 16),
+        "graph_ktruss": _ktruss_oracle_sql(3, 8),
         "graph_communities": _lpa_oracle_sql(4),
         "graph_link_prediction": _LINKPRED_ORACLE_SQL,
         "graph_ppr": _ppr_oracle_sql(5),

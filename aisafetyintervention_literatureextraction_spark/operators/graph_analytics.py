@@ -6,9 +6,9 @@ pipeline needs the analysis side too: which entities are central
 (PageRank, weighted and personalized), how clustered the mention
 graph is (triangles / clustering coefficient), what sits within k
 hops or at what path cost from a seed set (BFS, weighted SSSP),
-which dense regions form communities (LPA, k-core), and which edges
-the extractor likely missed (link prediction: common neighbors /
-Jaccard / resource allocation).  These are the classic
+which dense regions form communities (LPA, k-core, k-truss), and
+which edges the extractor likely missed (link prediction: common
+neighbors / Jaccard / resource allocation).  These are the classic
 distributed-graph kernels, implemented Spark-first as iterative
 hash-joins — the same execution shape the north rule prescribes for
 connected components.
@@ -20,12 +20,14 @@ Scale design notes (shared by every kernel):
   bit-identical regardless of partitioning, reduce order, or engine —
   float PageRank is order-dependent under distributed summation and
   can never be oracle-checked exactly.
-- **Iteration hygiene.**  Every loop uses the
-  persist → count → localCheckpoint → unpersist sandwich from
-  operators/components.py:111-124 — localCheckpoint alone preserves
-  origin-plan Catalyst stats whose sizeInBytes estimates compound
-  through iterative self-joins until the driver stalls in
-  BigInteger math (the r4 scale bug).
+- **Iteration hygiene.**  Every loop pins per-round state with
+  ``_pin`` (persist → count: ONE job per round; an eagerly-populated
+  InMemoryRelation carries its real materialized sizeInBytes, which
+  is the Catalyst-stats pin the r4 fix requires — localCheckpoint
+  alone preserves origin-plan stats whose sizeInBytes estimates
+  compound through iterative self-joins until the driver stalls in
+  BigInteger math).  Lineage truncates via localCheckpoint only at
+  loop exit and every ``_TRUNCATE_EVERY`` rounds in unbounded loops.
 - **Static structure cached once.**  Edges / out-degree contributions
   are checkpointed before the loop; per-iteration shuffles move only
   the rank/frontier relation, not the edge list's lineage.
@@ -74,6 +76,58 @@ def _ckpt_flat(df: DataFrame) -> DataFrame:
     out = cached.localCheckpoint(eager=True)
     cached.unpersist()
     return out
+
+
+_TRUNCATE_EVERY = 4  # _pin lineage-truncation cadence (rounds)
+
+
+def _pin(df: DataFrame, prev: DataFrame | None = None,
+         truncate: bool = False) -> tuple[DataFrame, int]:
+    """One-job-per-round state pinning for iterative kernels.
+
+    ``_ckpt_flat``'s sandwich runs TWO materialization jobs per round
+    (the stats-pinning count + the localCheckpoint block copy), but
+    only the persist+count is needed every round: an eagerly-populated
+    InMemoryRelation carries its REAL materialized sizeInBytes, which
+    is exactly the Catalyst-stats pin the r4 fix requires.  The
+    checkpoint copy serves lineage truncation only, so it runs at
+    ``truncate=True`` rounds.  ``prev`` (the prior generation)
+    unpersists only after the new generation is materialized, since
+    its blocks feed the new one's build.
+
+    TRUNCATION CADENCE IS CORRECTNESS-ADJACENT, pick it by the loop's
+    REFERENCE FAN-OUT: persist pins stats and execution but the
+    ANALYZED logical plan keeps full lineage, so if a round's plan
+    references the previous state C times, plan-tree size grows C^r —
+    at C≈15 (ktruss's triangle enumeration) round 5 is millions of
+    nodes and the driver OOMs just STRINGIFYING the plan
+    (TreeNode.generateTreeString; observed, not hypothetical).
+    Single-reference loops (pagerank/LPA/PPR: C=1, linear growth)
+    cache-chain and truncate every ``_TRUNCATE_EVERY`` rounds + at
+    exit; multi-reference loops (ktruss, kcore, SSSP's visited,
+    BFS's all-frontiers union) truncate EVERY round.  Between
+    truncations a lost partition recomputes through unpersisted
+    ancestors — local mode never does, a cluster pays only on
+    executor loss (the GraphX periodic-checkpoint trade).
+
+    For the frontier kernels (BFS/SSSP/PPR) whose rounds are small,
+    per-round fixed cost — job-launch latency + materialization — is
+    the scaling bottleneck (see BENCH/BASELINE.md, ~4 s/iteration
+    Amdahl term), so halving jobs per round attacks the dominant
+    serial term directly.
+
+    Returns ``(pinned_df, row_count)`` — the count is the pinning
+    job's result, free for the loops that need it for early exit.
+    """
+    cached = df.persist()
+    n = cached.count()
+    out = cached
+    if truncate:
+        out = cached.localCheckpoint(eager=True)
+        cached.unpersist()
+    if prev is not None:
+        prev.unpersist()
+    return out, n
 
 
 
@@ -162,7 +216,8 @@ def pagerank_int(
         "node", F.lit(PR_SCALE // n).cast("long").alias("rank_int")
     ).localCheckpoint(eager=True)
 
-    for _ in range(iterations):
+    prev = None
+    for i in range(iterations):
         contrib = (
             struct.join(ranks, struct.src == ranks.node)
             .select(
@@ -182,11 +237,11 @@ def pagerank_int(
                  ).alias("rank_int"),
             )
         )
-        # stats-explosion guard (components.py:111-124)
-        cached = new_ranks.persist()
-        cached.count()
-        ranks = cached.localCheckpoint(eager=True)
-        cached.unpersist()
+        # single-reference state: stats pin is one job per round;
+        # lineage truncates periodically + on exit
+        trunc = (i == iterations - 1) or ((i + 1) % _TRUNCATE_EVERY == 0)
+        ranks, _ = _pin(new_ranks, prev=prev, truncate=trunc)
+        prev = None if trunc else ranks
     return ranks
 
 
@@ -254,7 +309,8 @@ def personalized_pagerank(
     # reached-set state: only vertices with rank > 0
     ranks = seed_v.select(
         "node", F.lit(PR_SCALE // s).cast("long").alias("rank_int"))
-    for _ in range(iterations):
+    prev = None
+    for i in range(iterations):
         contrib = (
             struct.join(ranks, struct.src == ranks.node)
             .select(
@@ -263,14 +319,18 @@ def personalized_pagerank(
                 .alias("part"),
             )
         )
-        ranks = _ckpt_flat(
+        trunc = (i == iterations - 1) or ((i + 1) % _TRUNCATE_EVERY == 0)
+        ranks, _ = _pin(
             seed_v.select(
                 "node", F.lit(teleport).cast("long").alias("part"))
             .union(contrib)
             .groupBy("node")
             .agg(F.sum("part").alias("rank_int"))
-            .filter(F.col("rank_int") > 0)
+            .filter(F.col("rank_int") > 0),
+            prev=prev,
+            truncate=trunc,
         )
+        prev = None if trunc else ranks
     return (
         vertices.join(ranks, "node", "left")
         .select(
@@ -389,30 +449,40 @@ def bfs_khop(
     Each round joins only the *frontier* (nodes first reached last
     round) against the edge list and anti-joins the visited set, so
     per-round shuffle volume tracks the frontier size, not the graph.
+
+    ``visited`` stays a LAZY union over the per-hop frontiers —
+    materializing the union every hop (one extra job) buys nothing.
+    Each frontier truncates to a plan leaf (``_pin(truncate=True)``):
+    the union references ALL of them every hop, so cache-chaining
+    would double plan size per hop (see ``_pin`` docstring).
     """
     sym = _symmetrize(edges).localCheckpoint(eager=True)
-    visited = (
+    seeds0 = (
         seeds.select(F.col("node").cast("long").alias("node"))
         .distinct()
         .withColumn("dist", F.lit(0))
         .localCheckpoint(eager=True)
     )
-    frontier = visited
+    frontiers = [seeds0]
+    frontier = seeds0
     for hop in range(1, max_hops + 1):
+        visited_nodes = frontiers[0].select("node")
+        for f in frontiers[1:]:
+            visited_nodes = visited_nodes.union(f.select("node"))
         nxt = (
             sym.join(frontier, sym.src == frontier.node)
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(visited, "node", "left_anti")
+            .join(visited_nodes, "node", "left_anti")
             .withColumn("dist", F.lit(hop))
         )
-        cached = nxt.persist()
-        n_new = cached.count()
-        frontier = cached.localCheckpoint(eager=True)
-        cached.unpersist()
+        frontier, n_new = _pin(nxt, truncate=True)
         if n_new == 0:
             break
-        visited = visited.union(frontier).localCheckpoint(eager=True)
+        frontiers.append(frontier)
+    visited = frontiers[0]
+    for f in frontiers[1:]:
+        visited = visited.union(f)
     return visited
 
 
@@ -472,7 +542,8 @@ def sssp_weighted(
         .withColumn("dist", F.lit(0).cast("long"))
     )
     frontier = visited
-    for _ in range(max_rounds):
+    prev_frontier = None
+    for r in range(max_rounds):
         cand = (
             sym.join(frontier, sym.src == frontier.node)
             .select(
@@ -487,16 +558,23 @@ def sssp_weighted(
             .filter(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
             .select("node", F.col("nd").alias("dist"))
         )
-        cached = improved.persist()
-        n_improved = cached.count()
-        frontier = cached.localCheckpoint(eager=True)
-        cached.unpersist()
+        # frontier is single-reference state → cache-chain, truncate
+        # periodically; visited is referenced twice per round (the
+        # improved join + the union) → truncate every round (see
+        # _pin docstring on reference fan-out)
+        trunc_f = (r + 1) % _TRUNCATE_EVERY == 0
+        frontier, n_improved = _pin(improved, prev=prev_frontier,
+                                    truncate=trunc_f)
+        prev_frontier = None if trunc_f else frontier
         if n_improved == 0:
+            frontier.unpersist()
             break
-        visited = _ckpt_flat(
+        visited, _ = _pin(
             visited.union(frontier).groupBy("node").agg(
-                F.min("dist").alias("dist"))
+                F.min("dist").alias("dist")),
+            truncate=True,
         )
+    frontier.unpersist()  # last generation (no-op if truncated)
     return visited
 
 
@@ -530,7 +608,8 @@ def label_propagation(
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    for _ in range(rounds):
+    prev = None
+    for i in range(rounds):
         votes = (
             sym.join(labels, sym.dst == labels.node)
             .select(F.col("src").alias("nd"), "label")
@@ -550,7 +629,9 @@ def label_propagation(
             )
             .select(F.col("nd").alias("node"), "label")
         )
-        labels = _ckpt_flat(new_labels)
+        trunc = (i == rounds - 1) or ((i + 1) % _TRUNCATE_EVERY == 0)
+        labels, _ = _pin(new_labels, prev=prev, truncate=trunc)
+        prev = None if trunc else labels
     return labels
 
 
@@ -641,6 +722,132 @@ def link_prediction(
     )
 
 
+def _edge_support(e: DataFrame) -> tuple[DataFrame, list]:
+    """Per-edge triangle support over a canonical (a<b, distinct) edge
+    set: ``(a, b, support)`` for EVERY edge, support = number of
+    triangles the edge participates in (= |N(a) ∩ N(b)|).  Triangles
+    are enumerated once via the same degree-oriented wedge join as
+    ``triangle_counts`` (oriented out-degree O(sqrt m), so a celebrity
+    vertex cannot blow up the wedge fan-out), then each triangle
+    credits its three canonical edges.
+
+    Returns ``(supp_df, temps)`` — ``supp_df`` is lazy over two pinned
+    temporaries; the caller must unpersist ``temps`` after
+    materializing ``supp_df``.
+    """
+    deg, _ = _pin(
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("degb"))
+    oriented, _ = _pin(
+        e.join(da, "a").join(db, "b")
+        .select(
+            F.when(
+                (F.col("dega") < F.col("degb"))
+                | ((F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+            )
+            .otherwise(F.struct(F.col("b").alias("src"), F.col("a").alias("dst")))
+            .alias("o")
+        )
+        .select("o.src", "o.dst")
+    )
+    e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    e2 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    closer = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    triangles = (
+        e1.join(e2, "u")
+        .filter(F.col("v") < F.col("w"))
+        .join(
+            closer.select("v", "w").union(
+                closer.select(F.col("w").alias("v"), F.col("v").alias("w"))
+            ),
+            ["v", "w"],
+            "leftsemi",
+        )
+        .select("u", "v", "w")
+    )
+    tri_edges = (
+        triangles.select(F.least("u", "v").alias("a"),
+                         F.greatest("u", "v").alias("b"))
+        .union(triangles.select(F.least("u", "w").alias("a"),
+                                F.greatest("u", "w").alias("b")))
+        .union(triangles.select(F.least("v", "w").alias("a"),
+                                F.greatest("v", "w").alias("b")))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    supp = (
+        e.join(tri_edges, ["a", "b"], "left")
+        .select(
+            "a", "b",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("support"),
+        )
+    )
+    return supp, [deg, oriented]
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int | None = None,
+) -> DataFrame:
+    """k-truss decomposition by synchronous edge peeling: repeatedly
+    delete every edge participating in fewer than k−2 triangles until
+    none remains — the EDGE-cohesion analog of ``kcore``'s vertex
+    peel, and the standard "dense nucleus" extractor over the
+    constructed KG (a 4-truss relation set is one where every claimed
+    relation is corroborated by ≥2 triangle closures).  The k-truss
+    is confluent (unique fixpoint, deletion-order-independent), so the
+    result is deterministic on any engine/partitioning.
+
+    ``max_rounds`` caps the peel (None = run to fixpoint); a capped
+    run is "the edge set after R synchronous peel rounds" — the
+    SQL-unrollable form, same contract as ``kcore``/``sssp``.  Returns
+    ``(a, b, support)`` for surviving canonical edges with support
+    measured ON the final edge set.
+
+    Scale shape per round: one degree-oriented triangle enumeration
+    (wedge join bounded by oriented out-degree) + one left join +
+    filter over a monotonically shrinking edge set; state pinned via
+    ``_pin`` (one count job), lineage truncated every
+    ``_TRUNCATE_EVERY`` rounds.
+    """
+    live = _ckpt_flat(
+        edges.select(
+            F.least(F.col("a").cast("long"), F.col("b").cast("long")).alias("a"),
+            F.greatest(F.col("a").cast("long"), F.col("b").cast("long")).alias("b"),
+        )
+        .filter("a <> b")
+        .distinct()
+    )
+    n_prev = live.count()
+    rounds = 0
+    while n_prev > 0:
+        supp, temps = _edge_support(live)
+        nxt = supp.filter(F.col("support") >= k - 2).select("a", "b")
+        rounds += 1
+        # truncate EVERY round: the support plan references `live`
+        # ~15x (see _pin docstring) — cache-chaining here is C^r
+        # plan growth and a driver OOM by round ~5
+        live, n_now = _pin(nxt, truncate=True)
+        for t in temps:
+            t.unpersist()
+        if n_now == n_prev or (max_rounds is not None and rounds >= max_rounds):
+            n_prev = n_now
+            break
+        n_prev = n_now
+    supp, temps = _edge_support(live)
+    out = supp.localCheckpoint(eager=True)
+    for t in temps:
+        t.unpersist()
+    return out
+
+
 def kcore(
     edges: DataFrame,
     k: int,
@@ -669,6 +876,7 @@ def kcore(
     live = _symmetrize(edges).localCheckpoint(eager=True)
     n_prev = live.count()
     rounds = 0
+    prev = None
     while n_prev > 0:
         deg = live.groupBy(F.col("src").alias("node")).agg(
             F.count("*").alias("degree")
@@ -679,11 +887,10 @@ def kcore(
             .join(keep.withColumnRenamed("node", "dst"), "dst", "semi")
             .select("src", "dst")
         )
-        cached = nxt.persist()
-        n_now = cached.count()
-        live = cached.localCheckpoint(eager=True)
-        cached.unpersist()
         rounds += 1
+        # live is referenced 3x per round (degree agg + two semi-join
+        # keeps): truncate every round to keep plan growth flat
+        live, n_now = _pin(nxt, truncate=True)
         if n_now == n_prev or (max_rounds is not None and rounds >= max_rounds):
             n_prev = n_now
             break
