@@ -134,22 +134,28 @@ def cypher_node_statements(nodes: DataFrame) -> DataFrame:
 
 def cypher_edge_statements(edges: DataFrame) -> DataFrame:
     """kg_edges → ``MATCH endpoints, MERGE typed relationship, SET``
-    statements (reference db.py:49-60)."""
-    return edges.select(
-        F.concat(
-            F.lit("MATCH (a {id: "),
-            cypher_str(F.col("src").cast("string")),
-            F.lit("}), (b {id: "),
-            cypher_str(F.col("dst").cast("string")),
-            F.lit("}) MERGE (a)-[r:"),
-            cypher_ident(F.col("pred")),
-            F.lit("]->(b) SET r.description = "),
-            cypher_str(F.col("description")),
-            F.lit(", r.confidence = "),
-            cypher_str(F.col("edge_confidence")),
-            F.lit(";"),
-        ).alias("stmt")
-    )
+    statements (reference db.py:49-60).  When stage E's edge metrics
+    rode along (a ``support`` column), each relationship carries
+    ``r.support`` — its triangle-corroboration count — so loaders can
+    filter to the 3-truss client-side."""
+    parts = [
+        F.lit("MATCH (a {id: "),
+        cypher_str(F.col("src").cast("string")),
+        F.lit("}), (b {id: "),
+        cypher_str(F.col("dst").cast("string")),
+        F.lit("}) MERGE (a)-[r:"),
+        cypher_ident(F.col("pred")),
+        F.lit("]->(b) SET r.description = "),
+        cypher_str(F.col("description")),
+        F.lit(", r.confidence = "),
+        cypher_str(F.col("edge_confidence")),
+    ]
+    if "support" in edges.columns:
+        parts += [
+            F.lit(", r.support = "),
+            F.coalesce(F.col("support").cast("string"), F.lit("NULL")),
+        ]
+    return edges.select(F.concat(*parts, F.lit(";")).alias("stmt"))
 
 
 def export_cypher(catalog, out_dir: str) -> dict:
@@ -171,7 +177,21 @@ def export_cypher(catalog, out_dir: str) -> dict:
     nodes = cypher_node_statements(kg_nodes).observe(
         obs_n, F.count(F.lit(1)).alias("n")
     )
-    edges = cypher_edge_statements(catalog.read("kg_edges")).observe(
+    kg_edges = catalog.read("kg_edges")
+    if catalog.exists("kg_edge_metrics"):
+        # stage-E edge support rides along, joined on the canonical
+        # undirected pair (metrics are per-pair; kg_edges per-pred)
+        em = catalog.read("kg_edge_metrics").withColumnsRenamed(
+            {"a": "_ca", "b": "_cb"}
+        )
+        kg_edges = (
+            kg_edges
+            .withColumn("_ca", F.least("src", "dst"))
+            .withColumn("_cb", F.greatest("src", "dst"))
+            .join(em, ["_ca", "_cb"], "left")
+            .drop("_ca", "_cb")
+        )
+    edges = cypher_edge_statements(kg_edges).observe(
         obs_e, F.count(F.lit(1)).alias("n")
     )
     nodes.write.mode("overwrite").text(f"{out_dir}/nodes")

@@ -450,9 +450,11 @@ def stage_e_analytics(cat: Catalog, cfg: PipelineConfig):
     PageRank centrality, degree, triangle count, local clustering
     coefficient, and a deterministic LPA community label
     (operators/graph_analytics.py; isolated nodes are their own
-    singleton community).  The edge basis is the undirected distinct
-    (src, dst) pair set of kg_edges — pred multiplicity deliberately
-    does not inflate centrality.
+    singleton community), plus one ``kg_edge_metrics`` row per
+    undirected kg pair with its triangle support (the corroboration
+    count the node triangle numbers are built from).  The edge basis
+    is the undirected distinct (src, dst) pair set of kg_edges — pred
+    multiplicity deliberately does not inflate centrality.
 
     Like stage D it is a pure recompute from the graph tables, so the
     commit contract is the same: a single run_id-tagged overwrite with
@@ -466,6 +468,7 @@ def stage_e_analytics(cat: Catalog, cfg: PipelineConfig):
     pulls proportionally more centrality than a one-off.  Degree /
     triangles / clustering stay structural (unweighted) either way."""
     from ..operators.graph_analytics import (
+        _edge_support,
         label_propagation,
         pagerank_int,
         triangle_counts,
@@ -474,7 +477,7 @@ def stage_e_analytics(cat: Catalog, cfg: PipelineConfig):
     run_id = ckpt.new_run_id()
     t0 = time.time()
     if cfg.resume:
-        ckpt.reconcile_versions(cat, ["kg_node_metrics"])
+        ckpt.reconcile_versions(cat, ["kg_node_metrics", "kg_edge_metrics"])
     kg_edges = cat.read("kg_edges")
     edges = (
         kg_edges
@@ -523,12 +526,24 @@ def stage_e_analytics(cat: Catalog, cfg: PipelineConfig):
         )
     )
     cat.overwrite(metrics, "kg_node_metrics", run_id=run_id)
+    # edge-level metrics: per-pair triangle support (|N(a) ∩ N(b)|) —
+    # the corroboration count behind the node-level triangle numbers;
+    # the Cypher export carries it as r.support so loaders can filter
+    # to triangle-corroborated relations (the 3-truss) client-side
+    supp, temps = _edge_support(edges)
+    cat.overwrite(
+        supp.select("a", "b", F.col("support").cast("long").alias("support")),
+        "kg_edge_metrics", run_id=run_id,
+    )
+    for t in temps:
+        t.unpersist()
     ckpt.mark_processed(
         cat, "E_analytics", run_id,
         cat.spark.createDataFrame([("__all__",)], "conv_id string"),
     )
     ckpt.write_metrics(cat, "E_analytics", run_id, {
         "n_nodes_scored": cat.read("kg_node_metrics").count(),
+        "n_edges_scored": cat.read("kg_edge_metrics").count(),
         "wall_s": time.time() - t0,
     })
 

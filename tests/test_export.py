@@ -121,3 +121,10 @@ def test_export_cypher_includes_metrics_when_table_exists(spark, corpus,
     assert not any("n.pagerank = NULL" in ln for ln in lines)
     # community labels are node ids — quoted like n.id, never NULL
     assert all("n.community = '" in ln for ln in lines)
+    # stage-E edge support rides on every relationship (kg_edge_metrics
+    # covers every undirected kg pair, so no NULLs either)
+    elines = [r["value"]
+              for r in spark.read.text(f"{out}/edges").collect()]
+    assert stats["n_edge_statements"] == len(elines)
+    assert all("r.support = " in ln for ln in elines)
+    assert not any("r.support = NULL" in ln for ln in elines)

@@ -347,12 +347,28 @@ def test_stage_e_kg_node_metrics(spark, corpus, warehouse):
             assert (r["pagerank_int"], r["degree"], r["triangles"],
                     r["clustering"], r["community"]) == (0, 0, 0, 0.0, v)
 
+    # edge metrics: one row per undirected pair, support = common
+    # neighbors within the pair basis (what ref_ktruss measures at
+    # fixpoint-0, i.e. supports() over the full edge set)
+    em = {(r["a"], r["b"]): r["support"]
+          for r in cat.read("kg_edge_metrics").collect()}
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    assert em == {(a, b): len(adj[a] & adj[b]) for a, b in pairs}
+
     # idempotent resume: same rows, and stage E re-commits atomically
     before = sorted(map(tuple, metrics.collect()))
+    before_e = sorted(em.items())
     run_pipeline(spark, df, warehouse, analytics=True)
     after = sorted(map(tuple, Catalog(spark, warehouse)
                        .read("kg_node_metrics").collect()))
     assert before == after
+    after_e = sorted(
+        ((r["a"], r["b"]), r["support"])
+        for r in Catalog(spark, warehouse).read("kg_edge_metrics").collect())
+    assert before_e == after_e
 
 
 def test_stage_e_weighted_pagerank(spark, corpus, warehouse):
