@@ -339,8 +339,8 @@ def bench_graph_kernels(spark, path: str, only: tuple = ()) -> dict:
     a subset of GRAPH_KERNELS (re-measuring one kernel after a fix
     without paying for the family)."""
     from aisafetyintervention_literatureextraction_spark.operators.graph_analytics import (
-        bfs_khop, label_propagation, pagerank_int, personalized_pagerank,
-        sssp_weighted, triangle_counts,
+        bfs_khop, ktruss, label_propagation, pagerank_int,
+        personalized_pagerank, sssp_weighted, triangle_counts,
     )
     from pyspark.sql import functions as F
 
@@ -361,6 +361,10 @@ def bench_graph_kernels(spark, path: str, only: tuple = ()) -> dict:
         "lpa": lambda: label_propagation(edges, rounds=2),
         "sssp": lambda: sssp_weighted(edges, seeds, max_rounds=6),
         "ppr": lambda: personalized_pagerank(edges, seeds, iterations=5),
+        # NOT in the default family (each peel round costs a full
+        # triangle enumeration ≈ one `triangles` wall, so the total
+        # would be round-count-dependent); reachable via --graph-only
+        "ktruss": lambda: ktruss(edges, k=3, max_rounds=3),
     }
     sel = tuple(only) or GRAPH_KERNELS
     for name in sel:
@@ -804,7 +808,7 @@ def main() -> None:
         eff = {
             k: round((levels[4][f"{k}_wall_s"]
                       / max(levels[16][f"{k}_wall_s"], 1e-9)) / 4, 3)
-            for k in GRAPH_KERNELS + ("total",)
+            for k in GRAPH_KERNELS + ("ktruss", "total")
             if f"{k}_wall_s" in levels[4]
         }
         print(json.dumps({
