@@ -53,6 +53,7 @@ from aisafetyintervention_literatureextraction_spark.operators.graph_analytics i
     kcore,
     ktruss,
     label_propagation,
+    modularity,
     link_prediction,
     personalized_pagerank,
     pagerank_int,
@@ -807,6 +808,16 @@ def q_graph_communities(spark, sf_dir):
     return label_propagation(_copurchase_edges(spark, sf_dir), rounds=4)
 
 
+def q_graph_modularity(spark, sf_dir):
+    """Newman modularity Q of the 4-round LPA partition on the
+    co-purchase graph — one row (m2, e_in, dd_sum, modularity), every
+    term an exact int64 aggregate and the final Q a single 6-dp float
+    division of exact ints (the clustering/jaccard contract), so the
+    oracle replays the LPA unroll and the closed form verbatim."""
+    e = _copurchase_edges(spark, sf_dir)
+    return modularity(e, label_propagation(e, rounds=4))
+
+
 def q_graph_ppr(spark, sf_dir):
     """Personalized PageRank from the deterministic seed set
     {node % 17 == 3} (same rule as graph_khop): teleport returns only
@@ -1012,6 +1023,52 @@ def _lpa_oracle_sql(rounds: int = 4) -> str:
         )
     parts.append("fin AS (SELECT 1)")
     parts.append(f"SELECT node, label FROM l{rounds}")
+    return "\n".join(parts)
+
+
+def _modularity_oracle_sql(rounds: int = 4) -> str:
+    """LPA unroll (same as _lpa_oracle_sql) + the closed-form Newman
+    modularity of the final partition: Q = (E_in·2m − Σ_c D_c²)/(2m)²
+    — mirrors operators/graph_analytics.modularity exactly (int64
+    aggregates, one 6-dp double division)."""
+    parts = [
+        "WITH " + _GRAPH_ED_SQL + ",",
+        "l0 AS (SELECT node, node AS label FROM v),",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"vt{i} AS (SELECT s.src AS node, l.label, COUNT(*) AS c"
+            f" FROM sym s JOIN l{i - 1} l ON l.node = s.dst"
+            f" GROUP BY 1, 2),"
+        )
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT node, label FROM ("
+            f" SELECT node, label, ROW_NUMBER() OVER"
+            f" (PARTITION BY node ORDER BY c DESC, label ASC) AS rn"
+            f" FROM vt{i}) WHERE rn = 1),"
+        )
+    parts.append("mm AS (SELECT COUNT(*) AS m2 FROM sym),")
+    parts.append(
+        f"ei AS (SELECT SUM(CASE WHEN x.label = y.label THEN 1 ELSE 0 END)"
+        f" AS e_in FROM sym s"
+        f" JOIN l{rounds} x ON x.node = s.src"
+        f" JOIN l{rounds} y ON y.node = s.dst),"
+    )
+    parts.append("dg AS (SELECT src AS node, COUNT(*) AS d FROM sym GROUP BY 1),")
+    parts.append(
+        f"dc AS (SELECT l.label, SUM(dg.d) AS dcv FROM dg"
+        f" JOIN l{rounds} l ON l.node = dg.node GROUP BY 1),"
+    )
+    parts.append("dd AS (SELECT SUM(dcv * dcv) AS dd_sum FROM dc)")
+    parts.append(
+        "SELECT CAST(mm.m2 AS BIGINT) AS m2,"
+        " CAST(ei.e_in AS BIGINT) AS e_in,"
+        " CAST(dd.dd_sum AS BIGINT) AS dd_sum,"
+        " ROUND(CAST(ei.e_in * mm.m2 - dd.dd_sum AS DOUBLE)"
+        " / (CAST(mm.m2 AS DOUBLE) * CAST(mm.m2 AS DOUBLE)), 6)"
+        " AS modularity"
+        " FROM mm, ei, dd"
+    )
     return "\n".join(parts)
 
 
@@ -1384,6 +1441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_khop": q_graph_khop,
         "graph_kcore": q_graph_kcore,
         "graph_ktruss": q_graph_ktruss,
+        "graph_modularity": q_graph_modularity,
         "graph_communities": q_graph_communities,
         "graph_link_prediction": q_graph_link_prediction,
         "graph_ppr": q_graph_ppr,
@@ -1895,6 +1953,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank_weighted": _pagerank_weighted_oracle_sql(5),
         "graph_kcore": _kcore_oracle_sql(3, 16),
         "graph_ktruss": _ktruss_oracle_sql(3, 8),
+        "graph_modularity": _modularity_oracle_sql(4),
         "graph_communities": _lpa_oracle_sql(4),
         "graph_link_prediction": _LINKPRED_ORACLE_SQL,
         "graph_ppr": _ppr_oracle_sql(5),

@@ -635,6 +635,71 @@ def label_propagation(
     return labels
 
 
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity Q of a vertex partition (Newman & Girvan
+    2004) over an undirected simple graph — the standard quality
+    score for the LPA communities stage E produces:
+
+        Q = E_in/(2m) − Σ_c D_c²/(2m)²
+          = (E_in·2m − Σ_c D_c²) / (2m)²
+
+    with 2m = |directed symmetrized edges|, E_in = directed edges
+    whose endpoints share a label, D_c = total degree of community c.
+    Every term is an EXACT int64 aggregate (no float sums, so the
+    result is engine/partitioning-independent); the single float
+    division of exact ints rounds to 6 places, the same contract as
+    ``triangle_counts.clustering`` / ``link_prediction.jaccard``.
+    Exactness bound: dd_sum ≤ (2m)² < 2^63 requires 2m ≤ 3.03·10⁹
+    (≈1.5 billion undirected edges) — beyond that, recompute the
+    final expression in DECIMAL(38).
+
+    Returns ONE row ``(m2, e_in, dd_sum, modularity)``.  ``labels``
+    must cover the graph's vertex set (LPA output does by
+    construction); unlabeled vertices would be dropped by the inner
+    joins.  Empty graph → (0, 0, 0, 0.0).
+
+    Scale shape: two hash joins (labels onto edge endpoints) + three
+    full aggregations — one pass over the edge list, no iteration.
+    """
+    sym = _ckpt_flat(_symmetrize(edges))
+    m2 = sym.count()
+    spark = edges.sparkSession
+    if m2 == 0:
+        return spark.createDataFrame(
+            [(0, 0, 0, 0.0)],
+            "m2 long, e_in long, dd_sum long, modularity double",
+        )
+    lab = labels.select(F.col("node").cast("long").alias("node"),
+                        F.col("label").cast("long").alias("label"))
+    la = lab.select(F.col("node").alias("src"), F.col("label").alias("la"))
+    lb = lab.select(F.col("node").alias("dst"), F.col("label").alias("lb"))
+    e_in = (
+        sym.join(la, "src").join(lb, "dst")
+        .agg(F.sum((F.col("la") == F.col("lb")).cast("long")).alias("e_in"))
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("deg"))
+    dd = (
+        deg.join(lab, "node")
+        .groupBy("label").agg(F.sum("deg").alias("dc"))
+        .agg(F.sum(F.col("dc") * F.col("dc")).alias("dd_sum"))
+    )
+    # 1x1 scalar combine (broadcast, deliberate)
+    return (
+        e_in.crossJoin(dd)
+        .select(
+            F.lit(m2).cast("long").alias("m2"),
+            F.col("e_in").cast("long").alias("e_in"),
+            F.col("dd_sum").cast("long").alias("dd_sum"),
+            F.round(
+                (F.col("e_in") * F.lit(m2) - F.col("dd_sum"))
+                / F.lit(float(m2) * float(m2)),
+                6,
+            ).alias("modularity"),
+        )
+    )
+
+
 def link_prediction(
     edges: DataFrame,
     min_common: int = 2,

@@ -517,6 +517,11 @@ def test_graph_kernel_plans_no_cartesian_and_bounded_stats(spark):
         "bfs": bfs_khop(e, e.select(F.col("a").alias("node")).limit(3), 3),
         "kcore": kcore(e, 2),
     }
+    from aisafetyintervention_literatureextraction_spark.operators.graph_analytics import (
+        ktruss,
+    )
+
+    plans["ktruss"] = ktruss(e, 3, max_rounds=4)
     for name, df in plans.items():
         qe = df._jdf.queryExecution()
         plan = qe.executedPlan().toString()
@@ -981,3 +986,77 @@ def test_ktruss_contract_cap_converged(spark):
     capped = sorted(map(tuple, ktruss(e, 3, max_rounds=8).collect()))
     full = sorted(map(tuple, ktruss(e, 3).collect()))
     assert capped == full and len(full) > 0
+
+
+# ---------------------------------------------------------------- modularity
+
+def ref_modularity(pairs, labels):
+    """Exact-integer Newman Q — mirror of graph_analytics.modularity."""
+    sym = set()
+    for a, b in pairs:
+        if a != b:
+            sym.add((a, b))
+            sym.add((b, a))
+    m2 = len(sym)
+    if m2 == 0:
+        return (0, 0, 0, 0.0)
+    e_in = sum(1 for s, t in sym if labels[s] == labels[t])
+    deg: dict[int, int] = {}
+    for s, _ in sym:
+        deg[s] = deg.get(s, 0) + 1
+    dc: dict[int, int] = {}
+    for v, d in deg.items():
+        dc[labels[v]] = dc.get(labels[v], 0) + d
+    dd_sum = sum(x * x for x in dc.values())
+    q = round((e_in * m2 - dd_sum) / (m2 * m2), 6)
+    return (m2, e_in, dd_sum, q)
+
+
+def test_modularity_k2_and_ring_singletons(spark):
+    from aisafetyintervention_literatureextraction_spark.operators.graph_analytics import (
+        modularity,
+    )
+
+    # single edge, one community: Q = (2*2 - 4)/4 = 0 (textbook case)
+    lab1 = spark.createDataFrame([(0, 0), (1, 0)], "node long, label long")
+    row = modularity(_edges_df(spark, [(0, 1)]), lab1).collect()[0]
+    assert (row["m2"], row["e_in"], row["dd_sum"], row["modularity"]) \
+        == (2, 2, 4, 0.0)
+
+    # n-ring with singleton labels: e_in = 0, dd = 4n -> Q = -1/n
+    n = 10
+    ring = [(i, (i + 1) % n) for i in range(n)]
+    labs = spark.createDataFrame([(i, i) for i in range(n)],
+                                 "node long, label long")
+    row = modularity(_edges_df(spark, ring), labs).collect()[0]
+    assert (row["m2"], row["e_in"], row["dd_sum"]) == (2 * n, 0, 4 * n)
+    assert row["modularity"] == round(-1.0 / n, 6)
+
+
+def test_modularity_matches_reference_lpa_partitions(spark):
+    from aisafetyintervention_literatureextraction_spark.operators.graph_analytics import (
+        label_propagation, modularity,
+    )
+
+    # two K5s + bridge: LPA finds the cliques, Q is high
+    k5a = list(itertools.combinations(range(5), 2))
+    k5b = [(a + 10, b + 10) for a, b in k5a]
+    g = k5a + k5b + [(0, 10)]
+    labs = ref_lpa(g, 4)
+    got = modularity(
+        _edges_df(spark, g),
+        label_propagation(_edges_df(spark, g), rounds=4),
+    ).collect()[0]
+    exp = ref_modularity(g, labs)
+    assert (got["m2"], got["e_in"], got["dd_sum"], got["modularity"]) == exp
+    assert got["modularity"] > 0.3
+
+    # random graph, LPA labels
+    pairs = _random_graph(53, n=40, m=120)
+    labs = ref_lpa(pairs, 4)
+    got = modularity(
+        _edges_df(spark, pairs),
+        label_propagation(_edges_df(spark, pairs), rounds=4),
+    ).collect()[0]
+    assert (got["m2"], got["e_in"], got["dd_sum"], got["modularity"]) \
+        == ref_modularity(pairs, labs)
