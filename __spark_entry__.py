@@ -54,6 +54,7 @@ from aisafetyintervention_literatureextraction_spark.operators.graph_analytics i
     ktruss,
     label_propagation,
     modularity,
+    summarize_graph,
     link_prediction,
     personalized_pagerank,
     pagerank_int,
@@ -776,6 +777,15 @@ def q_graph_triangles(spark, sf_dir):
     return triangle_counts(_copurchase_edges(spark, sf_dir))
 
 
+def q_graph_summary(spark, sf_dir):
+    """One-row global structure summary of the co-purchase graph:
+    exact-int64 vertex/edge/wedge/triangle counts, max/mean degree,
+    and transitivity (3·T/W as a 6-dp division of exact ints) — the
+    "describe this graph" query; oracle aggregates the same
+    triangle-enumeration SQL as graph_triangles."""
+    return summarize_graph(_copurchase_edges(spark, sf_dir))
+
+
 def q_graph_kcore(spark, sf_dir):
     """3-core of the co-purchase graph by synchronous peeling, capped
     at 16 rounds — above the measured peel depth of every test SF
@@ -1441,6 +1451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_khop": q_graph_khop,
         "graph_kcore": q_graph_kcore,
         "graph_ktruss": q_graph_ktruss,
+        "graph_summary": q_graph_summary,
         "graph_modularity": q_graph_modularity,
         "graph_communities": q_graph_communities,
         "graph_link_prediction": q_graph_link_prediction,
@@ -1981,6 +1992,40 @@ def oracle_sql() -> dict[str, str]:
                                    / (d.degree * (d.degree - 1)), 6)
                    END AS clustering
             FROM deg d LEFT JOIN pn p ON p.node = d.node
+        """,
+        "graph_summary": f"""
+            WITH {_GRAPH_ED_SQL},
+            deg AS (SELECT src AS node, COUNT(*) AS degree FROM sym GROUP BY 1),
+            tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM ed e1
+              JOIN ed e2 ON e2.a = e1.b
+              JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            pn AS (
+              SELECT node, COUNT(*) AS triangles FROM (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+              ) GROUP BY node
+            ),
+            pernode AS (
+              SELECT d.node, d.degree,
+                     COALESCE(p.triangles, 0::BIGINT) AS tri
+              FROM deg d LEFT JOIN pn p ON p.node = d.node
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+                   CAST(SUM(degree) // 2 AS BIGINT) AS m_edges,
+                   CAST(SUM(degree * (degree - 1) // 2) AS BIGINT) AS wedges,
+                   CAST(SUM(tri) // 3 AS BIGINT) AS n_triangles,
+                   CAST(MAX(degree) AS BIGINT) AS max_degree,
+                   ROUND(CAST(SUM(degree) AS DOUBLE) / COUNT(*), 6)
+                     AS avg_degree,
+                   CASE WHEN SUM(degree * (degree - 1) // 2) = 0 THEN 0.0
+                        ELSE ROUND(CAST(SUM(tri) AS DOUBLE)
+                                   / SUM(degree * (degree - 1) // 2), 6)
+                   END AS transitivity
+            FROM pernode
         """,
         "graph_khop": f"""
             WITH RECURSIVE {_GRAPH_ED_SQL},

@@ -635,6 +635,40 @@ def label_propagation(
     return labels
 
 
+def summarize_graph(edges: DataFrame) -> DataFrame:
+    """Global structure summary of an undirected simple graph in ONE
+    row: vertex/edge/wedge/triangle counts (exact int64), max and
+    mean degree, and transitivity (the global clustering coefficient,
+    3·triangles/wedges — equal to Σ per-node triangles / Σ wedges
+    since the per-node counts triple-count each triangle).  Ratios
+    are single 6-dp double divisions of exact ints (the
+    clustering/jaccard contract).  Built as one aggregation over
+    ``triangle_counts`` — no new join shapes, so the celebrity-safe
+    wedge-join analysis there carries over unchanged.
+
+    Returns ``(n_vertices, m_edges, wedges, n_triangles, max_degree,
+    avg_degree, transitivity)``.
+    """
+    tc = triangle_counts(edges)
+    base = tc.agg(
+        F.count("*").cast("long").alias("n_vertices"),
+        F.expr("sum(degree) DIV 2").alias("m_edges"),
+        F.expr("sum(degree * (degree - 1) DIV 2)")
+        .cast("long").alias("wedges"),
+        F.expr("sum(triangles) DIV 3").alias("n_triangles"),
+        F.max("degree").cast("long").alias("max_degree"),
+        F.sum("degree").alias("_sd"),
+        F.sum("triangles").alias("_st"),
+    )
+    return base.select(
+        "n_vertices", "m_edges", "wedges", "n_triangles", "max_degree",
+        F.round(F.col("_sd") / F.col("n_vertices"), 6).alias("avg_degree"),
+        F.when(F.col("wedges") == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("_st") / F.col("wedges"), 6))
+        .alias("transitivity"),
+    )
+
+
 def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     """Newman modularity Q of a vertex partition (Newman & Girvan
     2004) over an undirected simple graph — the standard quality

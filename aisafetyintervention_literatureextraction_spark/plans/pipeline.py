@@ -470,6 +470,7 @@ def stage_e_analytics(cat: Catalog, cfg: PipelineConfig):
     from ..operators.graph_analytics import (
         _edge_support,
         label_propagation,
+        modularity,
         pagerank_int,
         triangle_counts,
     )
@@ -541,9 +542,16 @@ def stage_e_analytics(cat: Catalog, cfg: PipelineConfig):
         cat, "E_analytics", run_id,
         cat.spark.createDataFrame([("__all__",)], "conv_id string"),
     )
+    # partition-quality scalar for the run record: exact-integer
+    # Newman Q of the LPA communities (one row — a driver-side
+    # collect of a single aggregate, not data rows)
+    q = modularity(
+        edges, comm.select("node", F.col("community").alias("label"))
+    ).collect()[0]["modularity"]
     ckpt.write_metrics(cat, "E_analytics", run_id, {
         "n_nodes_scored": cat.read("kg_node_metrics").count(),
         "n_edges_scored": cat.read("kg_edge_metrics").count(),
+        "modularity_q": float(q),
         "wall_s": time.time() - t0,
     })
 

@@ -358,6 +358,12 @@ def test_stage_e_kg_node_metrics(spark, corpus, warehouse):
         adj.setdefault(b, set()).add(a)
     assert em == {(a, b): len(adj[a] & adj[b]) for a, b in pairs}
 
+    # run record carries the LPA partition quality (exact-int Newman Q)
+    qrows = [r for r in cat.read("_ckpt_metrics")
+             .filter("stage = 'E_analytics' AND metric = 'modularity_q'")
+             .collect()]
+    assert qrows and all(-1.0 <= float(r["value"]) <= 1.0 for r in qrows)
+
     # idempotent resume: same rows, and stage E re-commits atomically
     before = sorted(map(tuple, metrics.collect()))
     before_e = sorted(em.items())
@@ -1060,3 +1066,47 @@ def test_modularity_matches_reference_lpa_partitions(spark):
     ).collect()[0]
     assert (got["m2"], got["e_in"], got["dd_sum"], got["modularity"]) \
         == ref_modularity(pairs, labs)
+
+
+# -------------------------------------------------------------- graph summary
+
+def ref_summary(pairs):
+    per = ref_triangles(pairs)
+    n = len(per)
+    sd = sum(d for d, _, _ in per.values())
+    st = sum(t for _, t, _ in per.values())
+    wedges = sum(d * (d - 1) // 2 for d, _, _ in per.values())
+    return {
+        "n_vertices": n,
+        "m_edges": sd // 2,
+        "wedges": wedges,
+        "n_triangles": st // 3,
+        "max_degree": max(d for d, _, _ in per.values()),
+        "avg_degree": round(sd / n, 6),
+        "transitivity": 0.0 if wedges == 0 else round(st / wedges, 6),
+    }
+
+
+def test_graph_summary_shapes_and_reference(spark):
+    from aisafetyintervention_literatureextraction_spark.operators.graph_analytics import (
+        summarize_graph,
+    )
+
+    # K5: every wedge closes -> transitivity exactly 1.0
+    k5 = list(itertools.combinations(range(5), 2))
+    row = summarize_graph(_edges_df(spark, k5)).collect()[0].asDict()
+    assert row == {"n_vertices": 5, "m_edges": 10, "wedges": 30,
+                   "n_triangles": 10, "max_degree": 4,
+                   "avg_degree": 4.0, "transitivity": 1.0}
+
+    # ring: wedges but no triangles -> transitivity 0.0
+    n = 8
+    ring = [(i, (i + 1) % n) for i in range(n)]
+    row = summarize_graph(_edges_df(spark, ring)).collect()[0].asDict()
+    assert row["wedges"] == n and row["n_triangles"] == 0
+    assert row["transitivity"] == 0.0
+
+    # random graph vs the Python reference
+    pairs = _random_graph(59, n=35, m=100)
+    row = summarize_graph(_edges_df(spark, pairs)).collect()[0].asDict()
+    assert row == ref_summary(pairs)
