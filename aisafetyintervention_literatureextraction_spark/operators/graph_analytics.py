@@ -516,7 +516,9 @@ def sssp_weighted(
     the fixpoint.  Frontier relaxation computes the same round-i
     invariant as full-edge relaxation: a node propagates exactly when
     its value improves, and older (larger) values it would re-send
-    are already dominated.  Stats sandwich per round (r4 fix).
+    are already dominated.  State pinned by ``_pin`` (r4 stats fix):
+    the frontier cache-chains (single-reference), ``visited``
+    truncates every round (referenced twice per round).
     """
     if weight is None:
         e = _symmetrize(edges).withColumn("w", F.lit(1).cast("long"))
@@ -598,9 +600,9 @@ def label_propagation(
     groupBy(node, label) vote count + one max_by reduce — all
     shuffle-on-node, no window, with partial aggregation map-side.
     The vote relation is |E| rows pre-combine, same order as one
-    PageRank contribution round.  The
-    persist→count→localCheckpoint→unpersist sandwich pins plan stats
-    across iterations (the r4 Catalyst-stats fix).
+    PageRank contribution round.  Per-round state is pinned by the
+    one-job ``_pin`` (r4 Catalyst-stats fix), lineage truncating
+    periodically + at exit (labels are single-reference state).
     """
     sym = _ckpt_flat(_symmetrize(edges))
     labels = _ckpt_flat(
@@ -967,10 +969,10 @@ def kcore(
 
     Scale shape: each round is one groupBy (degree count) + one
     semi-join (edge filter against surviving vertices) over a
-    monotonically SHRINKING edge set, with the
-    persist→count→localCheckpoint→unpersist sandwich pinning plan
-    stats (the r4 iterative-self-join fix).  Rounds needed is the
-    degeneracy-peel depth — O(log n) on real-world graphs.
+    monotonically SHRINKING edge set; state pins + truncates EVERY
+    round via ``_pin(truncate=True)`` (the live set is referenced 3x
+    per round — see the fan-out rule in ``_pin``).  Rounds needed is
+    the degeneracy-peel depth — O(log n) on real-world graphs.
     """
     live = _symmetrize(edges).localCheckpoint(eager=True)
     n_prev = live.count()
