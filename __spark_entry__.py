@@ -828,6 +828,17 @@ def q_graph_modularity(spark, sf_dir):
     return modularity(e, label_propagation(e, rounds=4))
 
 
+def q_graph_modularity_weighted(spark, sf_dir):
+    """Evidence-weighted modularity: the SAME unweighted-LPA partition
+    scored against co-occurrence-count edge weights (W = total
+    directed weight, community strength in place of degree) — the
+    weighted-Q analog of graph_pagerank_weighted; oracle = LPA unroll
+    + the weighted closed form."""
+    e = _copurchase_edges(spark, sf_dir, weighted=True)
+    labels = label_propagation(e.select("a", "b"), rounds=4)
+    return modularity(e, labels, weight="w")
+
+
 def q_graph_ppr(spark, sf_dir):
     """Personalized PageRank from the deterministic seed set
     {node % 17 == 3} (same rule as graph_khop): teleport returns only
@@ -1036,15 +1047,29 @@ def _lpa_oracle_sql(rounds: int = 4) -> str:
     return "\n".join(parts)
 
 
-def _modularity_oracle_sql(rounds: int = 4) -> str:
+def _modularity_oracle_sql(rounds: int = 4, weighted: bool = False) -> str:
     """LPA unroll (same as _lpa_oracle_sql) + the closed-form Newman
-    modularity of the final partition: Q = (E_in·2m − Σ_c D_c²)/(2m)²
+    modularity of the final partition: Q = (E_in·W − Σ_c S_c²)/W²
     — mirrors operators/graph_analytics.modularity exactly (int64
-    aggregates, one 6-dp double division)."""
+    aggregates, one 6-dp double division).  ``weighted`` scores the
+    SAME unweighted-LPA partition against co-occurrence-count edge
+    weights (W = total directed weight, S_c = community strength),
+    mirroring modularity(weight='w')."""
     parts = [
         "WITH " + _GRAPH_ED_SQL + ",",
         "l0 AS (SELECT node, node AS label FROM v),",
     ]
+    if weighted:
+        parts.insert(1, """
+    edw AS (
+      SELECT CAST(x.l_partkey AS BIGINT) AS a, CAST(y.l_partkey AS BIGINT) AS b,
+             COUNT(*) AS w
+      FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+                         AND x.l_partkey < y.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    symw AS (SELECT a AS src, b AS dst, w FROM edw
+             UNION ALL SELECT b, a, w FROM edw),""")
     for i in range(1, rounds + 1):
         parts.append(
             f"vt{i} AS (SELECT s.src AS node, l.label, COUNT(*) AS c"
@@ -1057,14 +1082,18 @@ def _modularity_oracle_sql(rounds: int = 4) -> str:
             f" (PARTITION BY node ORDER BY c DESC, label ASC) AS rn"
             f" FROM vt{i}) WHERE rn = 1),"
         )
-    parts.append("mm AS (SELECT COUNT(*) AS m2 FROM sym),")
+    esrc = "symw" if weighted else "sym"
+    wexpr = "s.w" if weighted else "1"
+    wsum = "SUM(w)" if weighted else "COUNT(*)"
+    parts.append(f"mm AS (SELECT {wsum} AS m2 FROM {esrc}),")
     parts.append(
-        f"ei AS (SELECT SUM(CASE WHEN x.label = y.label THEN 1 ELSE 0 END)"
-        f" AS e_in FROM sym s"
+        f"ei AS (SELECT SUM(CASE WHEN x.label = y.label THEN {wexpr}"
+        f" ELSE 0 END) AS e_in FROM {esrc} s"
         f" JOIN l{rounds} x ON x.node = s.src"
         f" JOIN l{rounds} y ON y.node = s.dst),"
     )
-    parts.append("dg AS (SELECT src AS node, COUNT(*) AS d FROM sym GROUP BY 1),")
+    parts.append(
+        f"dg AS (SELECT src AS node, {wsum} AS d FROM {esrc} GROUP BY 1),")
     parts.append(
         f"dc AS (SELECT l.label, SUM(dg.d) AS dcv FROM dg"
         f" JOIN l{rounds} l ON l.node = dg.node GROUP BY 1),"
@@ -1453,6 +1482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ktruss": q_graph_ktruss,
         "graph_summary": q_graph_summary,
         "graph_modularity": q_graph_modularity,
+        "graph_modularity_weighted": q_graph_modularity_weighted,
         "graph_communities": q_graph_communities,
         "graph_link_prediction": q_graph_link_prediction,
         "graph_ppr": q_graph_ppr,
@@ -1965,6 +1995,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore": _kcore_oracle_sql(3, 16),
         "graph_ktruss": _ktruss_oracle_sql(3, 8),
         "graph_modularity": _modularity_oracle_sql(4),
+        "graph_modularity_weighted": _modularity_oracle_sql(4, weighted=True),
         "graph_communities": _lpa_oracle_sql(4),
         "graph_link_prediction": _LINKPRED_ORACLE_SQL,
         "graph_ppr": _ppr_oracle_sql(5),

@@ -671,36 +671,62 @@ def summarize_graph(edges: DataFrame) -> DataFrame:
     )
 
 
-def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    weight: str | None = None,
+) -> DataFrame:
     """Newman modularity Q of a vertex partition (Newman & Girvan
-    2004) over an undirected simple graph — the standard quality
-    score for the LPA communities stage E produces:
+    2004) over an undirected graph — the standard quality score for
+    the LPA communities stage E produces:
 
-        Q = E_in/(2m) − Σ_c D_c²/(2m)²
-          = (E_in·2m − Σ_c D_c²) / (2m)²
+        Q = E_in/W − Σ_c S_c²/W²  =  (E_in·W − Σ_c S_c²) / W²
 
-    with 2m = |directed symmetrized edges|, E_in = directed edges
-    whose endpoints share a label, D_c = total degree of community c.
-    Every term is an EXACT int64 aggregate (no float sums, so the
-    result is engine/partitioning-independent); the single float
-    division of exact ints rounds to 6 places, the same contract as
-    ``triangle_counts.clustering`` / ``link_prediction.jaccard``.
-    Exactness bound: dd_sum ≤ (2m)² < 2^63 requires 2m ≤ 3.03·10⁹
-    (≈1.5 billion undirected edges) — beyond that, recompute the
-    final expression in DECIMAL(38).
+    with W = total directed symmetrized edge weight (= |directed
+    edges| = 2m when unweighted), E_in = weight of directed edges
+    whose endpoints share a label, S_c = total strength (weighted
+    degree) of community c.  Every term is an EXACT int64 aggregate
+    (no float sums, so the result is engine/partitioning-
+    independent); the single float division of exact ints rounds to
+    6 places, the same contract as ``triangle_counts.clustering`` /
+    ``link_prediction.jaccard``.  Exactness bound: dd_sum ≤ W² < 2^63
+    requires W ≤ 3.03·10⁹ (≈1.5 billion undirected unit edges) —
+    beyond that, recompute the final expression in DECIMAL(38).
 
-    Returns ONE row ``(m2, e_in, dd_sum, modularity)``.  ``labels``
-    must cover the graph's vertex set (LPA output does by
+    ``weight`` names an integer edge-weight column (e.g. the KG's
+    evidence count): parallel edges combine by SUM, the
+    ``pagerank_int(weight=...)`` contract, and w ≡ 1 on a simple
+    graph recovers the unweighted Q exactly.  Without ``weight``,
+    parallel edges collapse (distinct), matching every other
+    unweighted kernel.
+
+    Returns ONE row ``(m2, e_in, dd_sum, modularity)`` — ``m2`` is W.
+    ``labels`` must cover the graph's vertex set (LPA output does by
     construction); unlabeled vertices would be dropped by the inner
     joins.  Empty graph → (0, 0, 0, 0.0).
 
     Scale shape: two hash joins (labels onto edge endpoints) + three
     full aggregations — one pass over the edge list, no iteration.
     """
-    sym = _ckpt_flat(_symmetrize(edges))
-    m2 = sym.count()
+    if weight is None:
+        sym = _ckpt_flat(
+            _symmetrize(edges).withColumn("w", F.lit(1).cast("long")))
+    else:
+        d = edges.select(
+            F.col("a").cast("long").alias("a"),
+            F.col("b").cast("long").alias("b"),
+            F.col(weight).cast("long").alias("w"),
+        ).filter("a <> b")
+        sym = _ckpt_flat(
+            d.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
+            .union(d.select(F.col("b").alias("src"),
+                            F.col("a").alias("dst"), "w"))
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+        )
+    w_total = sym.agg(F.sum("w")).collect()[0][0]
     spark = edges.sparkSession
-    if m2 == 0:
+    if not w_total:
         return spark.createDataFrame(
             [(0, 0, 0, 0.0)],
             "m2 long, e_in long, dd_sum long, modularity double",
@@ -711,10 +737,13 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     lb = lab.select(F.col("node").alias("dst"), F.col("label").alias("lb"))
     e_in = (
         sym.join(la, "src").join(lb, "dst")
-        .agg(F.sum((F.col("la") == F.col("lb")).cast("long")).alias("e_in"))
+        .agg(F.sum(
+            F.when(F.col("la") == F.col("lb"), F.col("w"))
+            .otherwise(F.lit(0).cast("long"))
+        ).alias("e_in"))
     )
     deg = sym.groupBy(F.col("src").alias("node")).agg(
-        F.count("*").alias("deg"))
+        F.sum("w").alias("deg"))
     dd = (
         deg.join(lab, "node")
         .groupBy("label").agg(F.sum("deg").alias("dc"))
@@ -724,12 +753,12 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     return (
         e_in.crossJoin(dd)
         .select(
-            F.lit(m2).cast("long").alias("m2"),
+            F.lit(w_total).cast("long").alias("m2"),
             F.col("e_in").cast("long").alias("e_in"),
             F.col("dd_sum").cast("long").alias("dd_sum"),
             F.round(
-                (F.col("e_in") * F.lit(m2) - F.col("dd_sum"))
-                / F.lit(float(m2) * float(m2)),
+                (F.col("e_in") * F.lit(w_total) - F.col("dd_sum"))
+                / F.lit(float(w_total) * float(w_total)),
                 6,
             ).alias("modularity"),
         )

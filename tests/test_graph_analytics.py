@@ -1110,3 +1110,62 @@ def test_graph_summary_shapes_and_reference(spark):
     pairs = _random_graph(59, n=35, m=100)
     row = summarize_graph(_edges_df(spark, pairs)).collect()[0].asDict()
     assert row == ref_summary(pairs)
+
+
+def ref_modularity_weighted(wtriples, labels):
+    """Weighted Q mirror: parallel edges combine by sum (pagerank
+    weighted contract)."""
+    wadj: dict[tuple, int] = {}
+    for a, b, w in wtriples:
+        if a == b:
+            continue
+        for s, t in ((a, b), (b, a)):
+            wadj[(s, t)] = wadj.get((s, t), 0) + w
+    w2 = sum(wadj.values())
+    if w2 == 0:
+        return (0, 0, 0, 0.0)
+    e_in = sum(w for (s, t), w in wadj.items() if labels[s] == labels[t])
+    strength: dict[int, int] = {}
+    for (s, _), w in wadj.items():
+        strength[s] = strength.get(s, 0) + w
+    sc: dict[int, int] = {}
+    for v, st in strength.items():
+        sc[labels[v]] = sc.get(labels[v], 0) + st
+    dd_sum = sum(x * x for x in sc.values())
+    return (w2, e_in, dd_sum, round((e_in * w2 - dd_sum) / (w2 * w2), 6))
+
+
+def test_modularity_weighted(spark):
+    from aisafetyintervention_literatureextraction_spark.operators.graph_analytics import (
+        modularity,
+    )
+
+    # w ≡ 1 on a simple graph recovers the unweighted Q exactly
+    pairs = _random_graph(61, n=30, m=90)
+    labels = {v: v % 3 for p in pairs for v in p}
+    labs_df = spark.createDataFrame(sorted(labels.items()),
+                                    "node long, label long")
+    unw = modularity(_edges_df(spark, pairs), labs_df).collect()[0]
+    w1 = modularity(_wedges_df(spark, [(a, b, 1) for a, b in pairs]),
+                    labs_df, weight="w").collect()[0]
+    assert tuple(unw) == tuple(w1)
+
+    # weighted reference on uneven weights, incl. parallel-edge combine
+    rng = random.Random(67)
+    wtriples = [(a, b, rng.randrange(1, 7)) for a, b in pairs]
+    wtriples += wtriples[:10]  # parallel duplicates: combine by sum
+    got = modularity(_wedges_df(spark, wtriples), labs_df,
+                     weight="w").collect()[0]
+    assert tuple(got) == ref_modularity_weighted(wtriples, labels)
+
+    # a heavy CROSS-community edge drags Q down vs the same unit graph
+    k3a = [(0, 1, 1), (1, 2, 1), (0, 2, 1)]
+    k3b = [(10, 11, 1), (11, 12, 1), (10, 12, 1)]
+    labs2 = spark.createDataFrame(
+        [(v, 0) for v in (0, 1, 2)] + [(v, 1) for v in (10, 11, 12)],
+        "node long, label long")
+    light = modularity(_wedges_df(spark, k3a + k3b + [(0, 10, 1)]),
+                       labs2, weight="w").collect()[0]["modularity"]
+    heavy = modularity(_wedges_df(spark, k3a + k3b + [(0, 10, 50)]),
+                       labs2, weight="w").collect()[0]["modularity"]
+    assert heavy < light
