@@ -732,22 +732,50 @@ def _copurchase_edges(spark, sf_dir, weighted=False):
     """Undirected (a, b) part pairs co-occurring in >= 2 orders —
     deterministic market-basket graph over neutral TPC-H data.  With
     ``weighted`` the co-occurrence count rides along as ``w`` (the
-    analog of the KG's per-edge evidence count)."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.select(F.col("l_orderkey").alias("ok"),
-                  F.col("l_partkey").cast("long").alias("a"))
-    b = li.select(F.col("l_orderkey").alias("ok"),
-                  F.col("l_partkey").cast("long").alias("b"))
+    analog of the KG's per-edge evidence count).
+
+    r6 shape (guide §2.3/§2.4, result-identical to the original
+    ``li JOIN li ON l_orderkey`` self-join): ONE shuffle groups each
+    order's distinct parts into a sorted array (collect_set dedups, so
+    the separate ``.distinct()`` pass is gone), and the a<b pair
+    fan-out happens map-side via array HOFs instead of a second
+    join-shuffle of the whole lineitem projection.  The per-order pair
+    multiset is identical, so the (a, b, n_orders) aggregate is too.
+    The result is pinned (track → release_caches in the bench loop)
+    because every graph kernel consumes it 1-2×  per query — the
+    pagerank/LPA kernels materialize it once for the edge structure,
+    and the ppr/sssp/khop/modularity queries a second time for the
+    seed/label derivations; before r6 each materialization re-ran the
+    lineitem self-join from the parquet scan up."""
+    from aisafetyintervention_literatureextraction_spark.functions.caching import (
+        track,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    sets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set(F.col("l_partkey").cast("long"))).alias("ps")
+    )
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ps"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ps"), i + F.lit(2), F.size(F.col("ps"))),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
     e = (
-        a.join(b, "ok")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
+        pairs.groupBy("a", "b")
         .agg(F.count("*").alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )
     if weighted:
-        return e.select("a", "b", F.col("n_orders").alias("w"))
-    return e.select("a", "b")
+        return track(e.select("a", "b", F.col("n_orders").alias("w")))
+    return track(e.select("a", "b"))
 
 
 def q_graph_pagerank(spark, sf_dir):
@@ -939,7 +967,12 @@ def _pagerank_oracle_sql(iterations: int = 5) -> str:
         )
     # trailing comma on the last CTE: close the list with a no-op
     parts.append("fin AS (SELECT 1)")
-    parts.append(f"SELECT node, rank_int FROM r{iterations}")
+    # final cast: DuckDB promotes SUM(BIGINT) to HUGEINT, which its
+    # pandas fetch renders float64 — the driver's representation hash
+    # then sees 15957446.0 vs Spark's 15957446 (CORRECTNESS_r05
+    # hash_match:false with bit-identical values; VERDICT r5 #1)
+    parts.append(
+        f"SELECT node, CAST(rank_int AS BIGINT) AS rank_int FROM r{iterations}")
     return "\n".join(parts)
 
 
@@ -1142,7 +1175,10 @@ def _ppr_oracle_sql(iterations: int = 5) -> str:
             f" LEFT JOIN c{i} c ON c.node = v.node),"
         )
     parts.append("fin AS (SELECT 1)")
-    parts.append(f"SELECT node, rank_int FROM r{iterations}")
+    # same HUGEINT→float64 cast as _pagerank_oracle_sql (VERDICT r5 #1:
+    # this oracle carries the identical latent promotion)
+    parts.append(
+        f"SELECT node, CAST(rank_int AS BIGINT) AS rank_int FROM r{iterations}")
     return "\n".join(parts)
 
 
@@ -1211,7 +1247,9 @@ def _pagerank_weighted_oracle_sql(iterations: int = 5) -> str:
             f" FROM v LEFT JOIN c{i} c ON c.node = v.node),"
         )
     parts.append("fin AS (SELECT 1)")
-    parts.append(f"SELECT node, rank_int FROM r{iterations}")
+    # same HUGEINT→float64 cast as _pagerank_oracle_sql (VERDICT r5 #1)
+    parts.append(
+        f"SELECT node, CAST(rank_int AS BIGINT) AS rank_int FROM r{iterations}")
     return "\n".join(parts)
 
 
