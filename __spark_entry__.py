@@ -617,7 +617,14 @@ def q_dedup_winnow(spark, sf_dir):
         winnow_duplicate_pairs,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    # repartition for the same reason as q_dedup_minhash_lsh: the sf
+    # dirs are single parquet files, which pin the CPU-bound rolling-
+    # hash fingerprint stage to ~2 input splits (measured 37 s on 2
+    # cores vs 2.6 s spread across the cluster at sf1.0); at real
+    # scale the scan arrives pre-split
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return winnow_duplicate_pairs(
         d, k=8, w=4, min_shared=20, max_bucket_size=64
     )

@@ -94,19 +94,169 @@ def _lsh_verified_pairs(
         .filter(est >= est_cut)
         .select("a_id", "b_id")
     )
+    return _verify_exact_jaccard(cand, feat, threshold, mode="strings")
+
+
+def _jaccard(a: str, b: str) -> F.Column:
+    """Exact Jaccard of two DISTINCT-element arrays (every caller
+    feeds array_distinct output: char_shingles, ngram feat, token
+    sets).  |A∪B| is derived as |A|+|B|−|A∩B| instead of building the
+    union set — identical integers, so an identical double division,
+    at half the per-pair set-construction cost (the union hash set was
+    as expensive as the intersect and is pure waste when sizes
+    suffice; guide §1.2 per-task work)."""
+    inter = F.size(F.array_intersect(F.col(a), F.col(b)))
+    union = F.size(F.col(a)) + F.size(F.col(b)) - inter
+    return (inter / F.greatest(union, F.lit(1))).cast("double")
+
+
+_BITSET_MAX_VOCAB = 16384  # bitset verify: <= 256 words (2 KB) per doc
+_DICT_MIN_CANDIDATES = 200_000  # below this, string verify is cheaper
+
+
+def _verify_exact_jaccard(cand: DataFrame, feat: DataFrame,
+                          threshold: float, mode: str = "strings") -> DataFrame:
+    """Exact-Jaccard verification of candidate id pairs against
+    DISTINCT-element string-array features — the shared r6 verify
+    core for the sketch dedup families (guide §1.2 per-task work:
+    measured at sf1.0 the naive per-pair string array_intersect was
+    73% of dedup_simhash's 40 s wall).
+
+    ``cand``: (a_id, b_id) pairs; ``feat``: (doc_id, toks) with toks
+    distinct.  Result: (a_id, b_id, jaccard) with jaccard >= threshold
+    — IDENTICAL to joining the string arrays directly, via exact
+    steps:
+
+    1. **Size-ratio prune** (a theorem, not a heuristic): J(A,B) =
+       |A∩B| / |A∪B| <= min/max since |A∩B| <= min(|A|,|B|) and
+       |A∪B| >= max.  So J >= t implies min >= t·max, and pairs
+       failing ``min >= (t-1e-9)·max`` (the 1e-9 absorbs the double
+       representation of t; set sizes are exact ints with <=1e-15
+       relative error in double) cannot reach the threshold — zero
+       recall loss on ANY data.  Sizes are a narrow int column, so
+       this drops pairs BEFORE the wide array attach (sf1.0: 4.15M →
+       1.77M simhash pairs for ~1 s).
+    2. **Verify representation** (``mode``):
+       - ``"strings"``: per-pair array_intersect on the string arrays
+         — right when the candidate volume is already small (the
+         minhash family's signature-agreement prefilter leaves a few
+         thousand pairs; a dictionary build would cost more than it
+         saves there).
+       - ``"auto"``: materialize + count the candidate ids (the pin
+         doubles as the Catalyst-stats anchor) and pick ``"strings"``
+         below ``_DICT_MIN_CANDIDATES`` — the dictionary/bitset build
+         is a fixed ~3-4 s that only pays for itself on
+         hundreds-of-thousands of pairs (sf0.1's 41 k candidates
+         verify in ~1 s as strings; sf1.0's 4.15 M need the dict).
+       - ``"dict"``: build the distinct vocabulary once.  If it fits
+         ``_BITSET_MAX_VOCAB`` (an adaptive runtime choice, like an
+         AQE plan pick — the result is representation-independent),
+         assign DENSE row_number ids over the sorted vocabulary
+         (deterministic; single-partition window is trivial at this
+         size) and verify via per-doc int64 bitmasks — |A∩B| is a
+         words-wide AND + popcount, ~30× cheaper than set-hashing
+         ~300 strings per pair.  Otherwise map to unique (sparse)
+         longs over the sorted vocabulary and intersect int arrays
+         (sf1.0: 22.5 s → 8.4 s on the same pair set).  Either
+         mapping is a bijection, so the per-pair |A∩B| and |A∪B|
+         integers — and hence the jaccard double — are identical to
+         the string computation.
+    """
+    if mode == "auto":
+        cand = track(cand)
+        mode = "strings" if cand.count() < _DICT_MIN_CANDIDATES else "dict"
+    feat = track(feat.select(F.col(feat.columns[0]).alias("doc_id"),
+                             F.col(feat.columns[1]).alias("toks")))
+    sizes = feat.select("doc_id", F.size("toks").alias("n"))
+    kept = (
+        cand.join(sizes.select(F.col("doc_id").alias("a_id"),
+                               F.col("n").alias("na")), "a_id")
+        .join(sizes.select(F.col("doc_id").alias("b_id"),
+                           F.col("n").alias("nb")), "b_id")
+        .filter(F.least("na", "nb").cast("double")
+                >= (threshold - 1e-9) * F.greatest("na", "nb"))
+    )
+    if mode == "strings":
+        return (
+            kept.select("a_id", "b_id")
+            .join(feat.select(F.col("doc_id").alias("a_id"),
+                              F.col("toks").alias("a_tokens")), "a_id")
+            .join(feat.select(F.col("doc_id").alias("b_id"),
+                              F.col("toks").alias("b_tokens")), "b_id")
+            .withColumn("jaccard", _jaccard("a_tokens", "b_tokens"))
+            .filter(F.col("jaccard") >= threshold)
+            .select("a_id", "b_id", "jaccard")
+        )
+
+    distinct_vocab = track(feat.select(F.explode("toks").alias("s")).distinct())
+    n_vocab = distinct_vocab.count()
+    exploded = feat.select("doc_id", F.explode("toks").alias("s"))
+    if 0 < n_vocab <= _BITSET_MAX_VOCAB:
+        from pyspark.sql import Window
+
+        n_words = (n_vocab + 63) // 64
+        vocab = distinct_vocab.select(
+            "s",
+            (F.row_number().over(Window.orderBy("s")) - 1).alias("sid"),
+        )
+        words = track(
+            exploded.join(vocab, "s")
+            .select(
+                "doc_id",
+                F.expr("CAST(sid DIV 64 AS INT)").alias("w"),
+                F.expr("shiftleft(CAST(1 AS BIGINT),"
+                       " CAST(sid % 64 AS INT))").alias("bit"),
+            )
+            .groupBy("doc_id", "w")
+            .agg(F.bit_or("bit").alias("wv"))
+            .groupBy("doc_id")
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("w", "wv"))).alias("m"))
+            .select(
+                "doc_id",
+                F.expr(
+                    f"transform(sequence(0, {n_words - 1}),"
+                    " i -> coalesce(m[CAST(i AS INT)], CAST(0 AS BIGINT)))"
+                ).alias("bits"),
+            )
+        )
+        inter = F.aggregate(
+            F.zip_with(F.col("a_bits"), F.col("b_bits"),
+                       lambda x, y: F.bit_count(x.bitwiseAND(y))),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        union = F.col("na") + F.col("nb") - inter
+        return (
+            kept.join(words.select(F.col("doc_id").alias("a_id"),
+                                   F.col("bits").alias("a_bits")), "a_id")
+            .join(words.select(F.col("doc_id").alias("b_id"),
+                               F.col("bits").alias("b_bits")), "b_id")
+            .withColumn(
+                "jaccard",
+                (inter / F.greatest(union, F.lit(1))).cast("double"))
+            .filter(F.col("jaccard") >= threshold)
+            .select("a_id", "b_id", "jaccard")
+        )
+    vocab = track(
+        distinct_vocab.orderBy("s")
+        .withColumn("sid", F.monotonically_increasing_id())
+    )
+    mapped = track(
+        exploded.join(vocab, "s")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("sid")).alias("toks"))
+    )
     return (
-        cand.join(feat.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("a_tokens")), "a_id")
-        .join(feat.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("b_tokens")), "b_id")
+        kept.select("a_id", "b_id")
+        .join(mapped.select(F.col("doc_id").alias("a_id"),
+                            F.col("toks").alias("a_tokens")), "a_id")
+        .join(mapped.select(F.col("doc_id").alias("b_id"),
+                            F.col("toks").alias("b_tokens")), "b_id")
         .withColumn("jaccard", _jaccard("a_tokens", "b_tokens"))
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
     )
-
-
-def _jaccard(a: str, b: str) -> F.Column:
-    inter = F.size(F.array_intersect(F.col(a), F.col(b)))
-    union = F.size(F.array_union(F.col(a), F.col(b)))
-    return (inter / F.greatest(union, F.lit(1))).cast("double")
 
 
 def minhash_near_duplicates(
@@ -210,10 +360,17 @@ def simhash_near_duplicates(
     ))  # feeds both sides of the band self-join
     left = b.select("band", "bits", F.col("doc_id").alias("a_id"), F.col("fp").alias("a_fp"))
     right = b.select("band", "bits", F.col("doc_id").alias("b_id"), F.col("fp").alias("b_fp"))
-    cand = (
+    # raw band-collision pairs, BEFORE the pair dedup: the hamming
+    # filter below is per-pair deterministic (a function of the two
+    # fingerprints), so filtering the raw fan-out first and deduping
+    # after yields the identical candidate set while the dedup
+    # exchange moves ~26× fewer rows, ids only (r6; guide §2.3
+    # "project before the exchange" — the r5 plan shuffled every raw
+    # collision pair WITH both fingerprints through the dropDuplicates
+    # aggregation and filtered only afterwards).
+    raw = (
         left.join(right, ["band", "bits"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .dropDuplicates(["a_id", "b_id"])
     )
     if verify == "jaccard":
         # cheap fingerprint-distance prefilter before the exact shingle
@@ -226,20 +383,17 @@ def simhash_near_duplicates(
         sh = docs.select(
             F.col(id_col).alias("doc_id"),
             char_shingles(F.col(text_col), shingle_k).alias("sh"),
-)
-        sh = track(sh)  # reused by both endpoint-attach joins
-        return (
-            cand.filter(hamming64(F.col("a_fp"), F.col("b_fp")) <= prefilter_hamming)
-            .select("a_id", "b_id")
-            .join(sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_tokens")), "a_id")
-            .join(sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_tokens")), "b_id")
-            .withColumn("jaccard", _jaccard("a_tokens", "b_tokens"))
-            .filter(F.col("jaccard") >= jaccard_threshold)
-            .select("a_id", "b_id", "jaccard")
         )
+        cand = (
+            raw.filter(hamming64(F.col("a_fp"), F.col("b_fp")) <= prefilter_hamming)
+            .select("a_id", "b_id")
+            .dropDuplicates(["a_id", "b_id"])
+        )
+        return _verify_exact_jaccard(cand, sh, jaccard_threshold, mode="auto")
     return (
-        cand.withColumn("hamming", hamming64(F.col("a_fp"), F.col("b_fp")))
+        raw.withColumn("hamming", hamming64(F.col("a_fp"), F.col("b_fp")))
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["a_id", "b_id"])
         .select("a_id", "b_id", "hamming")
     )
 
@@ -322,13 +476,34 @@ def winnow_duplicate_pairs(
             .filter(F.col("count") <= max_bucket_size)
             .select("fp")
         )
+        # co-partitioned with the groupBys below (same fp key), so the
+        # cap join adds no exchange; the COUNT aggregate (map-side
+        # partial, skew-safe) stays the hot-fingerprint guard — a
+        # degenerate fingerprint never materializes a giant id array
         ex = ex.join(small, "fp")
-    a = ex.select(F.col(id_col).alias("a_id"), "fp")
-    b = ex.select(F.col(id_col).alias("b_id"), "fp")
+    # r6 (guide §2.3/§2.4): generate each bucket's a<b pairs map-side
+    # from a sorted id array (buckets are ≤ max_bucket_size docs by
+    # construction) instead of a fingerprint self-join — the same pair
+    # multiset without shuffling the exploded relation twice more for
+    # the join sides.
+    buckets = ex.groupBy("fp").agg(
+        F.array_sort(F.collect_list(F.col(id_col))).alias("ids")
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                        lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a_id", "p.b_id")
     return (
-        a.join(b, "fp")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
+        pairs.groupBy("a_id", "b_id")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )

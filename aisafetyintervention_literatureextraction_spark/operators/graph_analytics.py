@@ -44,6 +44,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.caching import track
+
 PR_SCALE = 10**9  # rank fixed-point scale: rank 1.0 == 10^9
 
 

@@ -93,6 +93,8 @@ def main() -> None:
                 walls.append(round(time.time() - t0, 3))
                 release_caches()
                 spark.sparkContext.setJobDescription(None)
+            if not walls:
+                continue
             out[name] = {"walls_s": walls, "min_s": min(walls), "rows": n}
             print(json.dumps({name: out[name]}), flush=True)
     finally:
