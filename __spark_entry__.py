@@ -534,8 +534,14 @@ def q_kg_mentions(spark, sf_dir):
 
 def q_kg_cooccurrence(spark, sf_dir):
     """X1+A3 — co-occurring mention pairs per document → weighted
-    edges (subj < obj canonical form O4)."""
-    m = q_kg_mentions(spark, sf_dir)
+    edges (subj < obj canonical form O4).  The mention relation feeds
+    BOTH join sides, so it is pinned (r6) — otherwise the regex
+    tokenize/explode over every document runs twice."""
+    from aisafetyintervention_literatureextraction_spark.functions.caching import (
+        track,
+    )
+
+    m = track(q_kg_mentions(spark, sf_dir))
     a = m.select(F.col("doc_id"), F.col("mention").alias("subj"))
     b = m.select(F.col("doc_id"), F.col("mention").alias("obj"))
     return (
@@ -662,6 +668,10 @@ def q_kg_pipeline_triples(spark, sf_dir):
     """Flagship: W3 reassembly → mention detection → co-occurrence
     triples over events-derived transcripts (full Stage A+B shape on
     neutral data). Oracle: string_agg reassembly + token self-join."""
+    from aisafetyintervention_literatureextraction_spark.functions.caching import (
+        track,
+    )
+
     tr = _events_as_transcripts(spark, sf_dir)
     docs = reassemble(tr, salt_segment=64).documents
     toks = F.array_distinct(
@@ -670,7 +680,9 @@ def q_kg_pipeline_triples(spark, sf_dir):
             lambda x: F.length(x) > 0,
         )
     )
-    m = docs.select("conv_id", F.explode(toks).alias("mention"))
+    # the mention relation feeds BOTH join sides (r6): pin it so the
+    # reassembly window + tokenize/explode pipeline runs once
+    m = track(docs.select("conv_id", F.explode(toks).alias("mention")))
     a = m.select("conv_id", F.col("mention").alias("subj"))
     b = m.select("conv_id", F.col("mention").alias("obj"))
     return (

@@ -35,6 +35,25 @@ def connected_components(
     checkpoint_every: int = 1,
     initial_labels: DataFrame | None = None,
 ) -> DataFrame:
+    # r6: the hop/jump rounds are linear joins over the label relation
+    # — the same tiny-per-round-shuffle profile as the rank kernels,
+    # so run the eager iteration under AQE partition coalescing (see
+    # graph_analytics._adaptive_coalesce: byte-adaptive, restores the
+    # caller's setting on exit)
+    from .graph_analytics import _adaptive_coalesce
+
+    with _adaptive_coalesce(edges):
+        return _connected_components_impl(
+            vertices, edges, max_iter, checkpoint_every, initial_labels)
+
+
+def _connected_components_impl(
+    vertices: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 50,
+    checkpoint_every: int = 1,
+    initial_labels: DataFrame | None = None,
+) -> DataFrame:
     """Returns (node_id, component_id) — component_id = min node_id in
     the component. Deterministic and resume-stable because node ids
     are content hashes (functions/hashing.stable_node_id).

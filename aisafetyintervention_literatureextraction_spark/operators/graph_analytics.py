@@ -64,30 +64,64 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
 WEIGHT_CAP = 10**8  # per-edge weight clamp: keeps d·rank·w < 2^63
 
 
-def _ckpt_flat(df: DataFrame) -> DataFrame:
-    """persist → count → localCheckpoint → unpersist (the
-    components.py r4 sandwich): localCheckpoint alone preserves the
-    ORIGIN plan's Catalyst statistics, and sizeInBytes estimates
-    MULTIPLY through every downstream join — a relation referenced on
-    both sides of a self-join squares them, so a few composition
-    layers reach astronomical BigIntegers and the driver burns time in
-    stat propagation.  The cache boundary makes the checkpointed
-    plan's stats the InMemoryRelation's real materialized size."""
-    cached = df.persist()
-    cached.count()
-    out = cached.localCheckpoint(eager=True)
-    cached.unpersist()
-    return out
-
-
 _TRUNCATE_EVERY = 4  # _pin lineage-truncation cadence (rounds)
+
+
+import functools
+from contextlib import contextmanager
+
+
+@contextmanager
+def _adaptive_coalesce(df: DataFrame):
+    """Re-enable AQE partition coalescing for a kernel's eager loop
+    jobs (r6).  The driver-bench session pins coalescing OFF because
+    the fused reassembly→extraction stage must not shrink below the
+    core count; the graph kernels have the opposite profile — dozens
+    of tiny per-round shuffles whose 64 fixed post-shuffle partitions
+    cost more task-launch overhead than compute.  Coalescing adapts
+    the partition count to the ACTUAL shuffle bytes (advisory size),
+    so this is scale-adaptive, not a local-core-count constant: at
+    24M edges the round relations exceed the advisory size and keep
+    their parallelism (the --graph-scale bench always ran with
+    coalescing on — this aligns the kernels' behavior across
+    sessions).  Scoped to kernels whose per-round stages are LINEAR
+    joins/aggregations; the wedge-join enumerations (triangle_counts,
+    link_prediction, _edge_support) stay out — their fan-out is
+    generated DURING the stage, so byte-based coalescing could starve
+    them of cores.  The session conf is restored on exit; the
+    caller's returned lazy plan executes under the caller's own
+    setting."""
+    spark = df.sparkSession
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, "true")
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+def _coalesced_kernel(fn):
+    """Decorator: run the kernel's eager loop jobs under
+    ``_adaptive_coalesce`` (kernels take the edge DataFrame first)."""
+    @functools.wraps(fn)
+    def wrapper(edges, *args, **kwargs):
+        with _adaptive_coalesce(edges):
+            return fn(edges, *args, **kwargs)
+    return wrapper
 
 
 def _pin(df: DataFrame, prev: DataFrame | None = None,
          truncate: bool = False) -> tuple[DataFrame, int]:
     """One-job-per-round state pinning for iterative kernels.
 
-    ``_ckpt_flat``'s sandwich runs TWO materialization jobs per round
+    The old checkpoint sandwich ran TWO materialization jobs per round
     (the stats-pinning count + the localCheckpoint block copy), but
     only the persist+count is needed every round: an eagerly-populated
     InMemoryRelation carries its REAL materialized sizeInBytes, which
@@ -121,7 +155,9 @@ def _pin(df: DataFrame, prev: DataFrame | None = None,
     Returns ``(pinned_df, row_count)`` — the count is the pinning
     job's result, free for the loops that need it for early exit.
     """
-    cached = df.persist()
+    cached = track(df)  # persist + register for release_caches (r6:
+    # a long-lived caller reclaims kernel state between queries; the
+    # explicit prev-unpersist below stays the tight loop-level bound)
     n = cached.count()
     out = cached
     if truncate:
@@ -133,6 +169,7 @@ def _pin(df: DataFrame, prev: DataFrame | None = None,
 
 
 
+@_coalesced_kernel
 def pagerank_int(
     edges: DataFrame,
     iterations: int = 5,
@@ -190,33 +227,36 @@ def pagerank_int(
         sym = _symmetrize(edges)
     if weight is None:
         sym = sym.withColumn("w", F.lit(1).cast("long"))
-    sym = sym.localCheckpoint(eager=True)
-
-    vertices = (
-        sym.select(F.col("src").alias("node"))
-        .union(sym.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    n = vertices.count()
-    if n == 0:
-        return vertices.select("node", F.lit(0).cast("long").alias("rank_int"))
-
+    # r6 static prep (guide §2.4): ONE pinned relation instead of four
+    # eager localCheckpoints — sym is a lazily-persisted leaf feeding
+    # the struct build (materialized once inside struct's pin job),
+    # vertices derive from the cached struct (src ∪ dst — src alone
+    # suffices undirected but misses sink-only nodes when directed),
+    # and the initial rank relation stays a lazy projection of
+    # vertices (round 1 computes it inline — a literal column, not
+    # worth its own job).
+    sym = track(sym)
     outdeg = sym.groupBy(F.col("src").alias("node")).agg(
         F.sum("w").alias("outdeg")  # == COUNT(*) when w ≡ 1
     )
     # static per-edge structure: (src, dst, w, W_out(src)) — cached
     # once, per-iteration joins touch only the rank relation
-    struct = (
+    struct, _ = _pin(
         sym.join(outdeg, sym.src == outdeg.node)
         .select("src", "dst", "w", "outdeg")
-        .localCheckpoint(eager=True)
     )
+    vertices, n = _pin(
+        struct.select(F.col("src").alias("node"))
+        .union(struct.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if n == 0:
+        return vertices.select("node", F.lit(0).cast("long").alias("rank_int"))
 
     teleport = ((100 - damping_pct) * PR_SCALE) // (100 * n)
     ranks = vertices.select(
         "node", F.lit(PR_SCALE // n).cast("long").alias("rank_int")
-    ).localCheckpoint(eager=True)
+    )
 
     prev = None
     for i in range(iterations):
@@ -230,23 +270,45 @@ def pagerank_int(
             .groupBy("node")
             .agg(F.sum("c").alias("in_mass"))
         )
-        new_ranks = (
-            vertices.join(contrib, "node", "left")
-            .select(
-                "node",
-                (F.lit(teleport).cast("long")
-                 + F.coalesce(F.col("in_mass"), F.lit(0).cast("long"))
-                 ).alias("rank_int"),
+        if directed:
+            # zero-fill: a directed vertex may receive no mass
+            new_ranks = (
+                vertices.join(contrib, "node", "left")
+                .select(
+                    "node",
+                    (F.lit(teleport).cast("long")
+                     + F.coalesce(F.col("in_mass"), F.lit(0).cast("long"))
+                     ).alias("rank_int"),
+                )
             )
-        )
-        # single-reference state: stats pin is one job per round;
-        # lineage truncates periodically + on exit
-        trunc = (i == iterations - 1) or ((i + 1) % _TRUNCATE_EVERY == 0)
-        ranks, _ = _pin(new_ranks, prev=prev, truncate=trunc)
-        prev = None if trunc else ranks
+        else:
+            # undirected: sym carries both directions, so every vertex
+            # has in-degree >= 1 and contrib already covers the whole
+            # vertex set — the per-round zero-fill join is a no-op
+            # (r6: one fewer join per round, identical rows)
+            new_ranks = contrib.select(
+                "node",
+                (F.lit(teleport).cast("long") + F.col("in_mass"))
+                .alias("rank_int"),
+            )
+        # single-reference state: pin every SECOND round (and at exit)
+        # — the intermediate round rides lazily into the next pin job,
+        # halving per-round fixed cost (job launch + cache
+        # materialization; r5 VERDICT #5's frontier-batching applied
+        # to the rank kernels).  Shuffle volume is unchanged; only the
+        # job count drops.  Lineage still truncates periodically + on
+        # exit per the _pin fan-out model.
+        last = i == iterations - 1
+        if last or i % 2 == 1:
+            trunc = last or ((i + 1) % _TRUNCATE_EVERY == 0)
+            ranks, _ = _pin(new_ranks, prev=prev, truncate=trunc)
+            prev = None if trunc else ranks
+        else:
+            ranks = new_ranks
     return ranks
 
 
+@_coalesced_kernel
 def personalized_pagerank(
     edges: DataFrame,
     seeds: DataFrame,
@@ -287,26 +349,28 @@ def personalized_pagerank(
     kernel's wall measured solo in a fresh JVM is ~2× its wall in
     family position — never compare across those regimes.)
     """
-    sym = _ckpt_flat(_symmetrize(edges))
-    vertices = _ckpt_flat(
-        sym.select(F.col("src").alias("node")).distinct()
+    # r6 static prep: sym is a lazily-persisted leaf; struct's pin job
+    # materializes it once; vertices come from the cached struct
+    # (undirected: every node appears as a src) — 8 static
+    # materialization jobs down to 3 (guide §2.4)
+    sym = track(_symmetrize(edges))
+    outdeg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("outdeg"))
+    struct, _ = _pin(
+        sym.join(outdeg, sym.src == outdeg.node)
+        .select("src", "dst", "outdeg")
     )
-    seed_v = _ckpt_flat(
+    vertices, _ = _pin(
+        struct.select(F.col("src").alias("node")).distinct())
+    seed_v, s = _pin(
         seeds.select(F.col("node").cast("long").alias("node"))
         .distinct()
         .join(vertices, "node", "semi")
     )
-    s = seed_v.count()
     if s == 0:
         return vertices.select(
             "node", F.lit(0).cast("long").alias("rank_int"))
 
-    outdeg = sym.groupBy(F.col("src").alias("node")).agg(
-        F.count("*").alias("outdeg"))
-    struct = _ckpt_flat(
-        sym.join(outdeg, sym.src == outdeg.node)
-        .select("src", "dst", "outdeg")
-    )
     teleport = ((100 - damping_pct) * PR_SCALE) // (100 * s)
     # reached-set state: only vertices with rank > 0
     ranks = seed_v.select(
@@ -321,18 +385,24 @@ def personalized_pagerank(
                 .alias("part"),
             )
         )
-        trunc = (i == iterations - 1) or ((i + 1) % _TRUNCATE_EVERY == 0)
-        ranks, _ = _pin(
+        new_ranks = (
             seed_v.select(
                 "node", F.lit(teleport).cast("long").alias("part"))
             .union(contrib)
             .groupBy("node")
             .agg(F.sum("part").alias("rank_int"))
-            .filter(F.col("rank_int") > 0),
-            prev=prev,
-            truncate=trunc,
+            .filter(F.col("rank_int") > 0)
         )
-        prev = None if trunc else ranks
+        # single-reference state: pin every second round + at exit
+        # (r5 VERDICT #5 — the ~per-round fixed cost was the scaling
+        # bottleneck for the frontier kernels)
+        last = i == iterations - 1
+        if last or i % 2 == 1:
+            trunc = last or ((i + 1) % _TRUNCATE_EVERY == 0)
+            ranks, _ = _pin(new_ranks, prev=prev, truncate=trunc)
+            prev = None if trunc else ranks
+        else:
+            ranks = new_ranks
     return (
         vertices.join(ranks, "node", "left")
         .select(
@@ -364,8 +434,9 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .filter("a <> b")
         .distinct()
     )
-    e = _ckpt_flat(e)
-    deg = _ckpt_flat(
+    e, _ = _pin(e)  # r6: persist+count pins stats in ONE job; no loop
+    # here, so lineage never grows and the checkpoint copy was waste
+    deg, _ = _pin(
         e.select(F.col("a").alias("node"))
         .union(e.select(F.col("b").alias("node")))
         .groupBy("node")
@@ -387,7 +458,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         )
         .select("o.src", "o.dst")
     )
-    oriented = _ckpt_flat(oriented)
+    oriented, _ = _pin(oriented)
     e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     e2 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
     closer = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
@@ -438,6 +509,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
 
 
+@_coalesced_kernel
 def bfs_khop(
     edges: DataFrame,
     seeds: DataFrame,
@@ -488,6 +560,7 @@ def bfs_khop(
     return visited
 
 
+@_coalesced_kernel
 def sssp_weighted(
     edges: DataFrame,
     seeds: DataFrame,
@@ -537,16 +610,32 @@ def sssp_weighted(
             .groupBy("src", "dst")
             .agg(F.min("w").alias("w"))
         )
-    sym = _ckpt_flat(e)
+    # r6: sym is a lazily-persisted leaf (track), materialized once
+    # inside the seed pin job
+    sym = track(e)
     vertices = sym.select(F.col("src").alias("node")).distinct()
-    visited = _ckpt_flat(
+    seeds0, _ = _pin(
         seeds.select(F.col("node").cast("long").alias("node"))
         .distinct()
         .join(vertices, "node", "semi")
         .withColumn("dist", F.lit(0).cast("long"))
     )
-    frontier = visited
-    prev_frontier = None
+    # r6 loop shape (r5 VERDICT #5): ONE pin job per round instead of
+    # two.  ``visited`` is no longer its own pinned relation — it is
+    # the groupBy-min over ALL pinned frontier generations (the BFS
+    # lazy-union trick), recomputed per round from cached leaves.
+    # Each round's improved set is exactly the old two-pin version's:
+    # min-combining the frontiers equals the old visited's
+    # union+groupBy-min by associativity of MIN.
+    frontiers = [seeds0]
+
+    def visited_now():
+        u = frontiers[0]
+        for f in frontiers[1:]:
+            u = u.union(f)
+        return u.groupBy("node").agg(F.min("dist").alias("dist"))
+
+    frontier = seeds0
     for r in range(max_rounds):
         cand = (
             sym.join(frontier, sym.src == frontier.node)
@@ -558,30 +647,21 @@ def sssp_weighted(
             .agg(F.min("nd").alias("nd"))
         )
         improved = (
-            cand.join(visited, "node", "left")
+            cand.join(visited_now(), "node", "left")
             .filter(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
             .select("node", F.col("nd").alias("dist"))
         )
-        # frontier is single-reference state → cache-chain, truncate
-        # periodically; visited is referenced twice per round (the
-        # improved join + the union) → truncate every round (see
-        # _pin docstring on reference fan-out)
-        trunc_f = (r + 1) % _TRUNCATE_EVERY == 0
-        frontier, n_improved = _pin(improved, prev=prev_frontier,
-                                    truncate=trunc_f)
-        prev_frontier = None if trunc_f else frontier
+        # every frontier generation stays referenced by the final
+        # union, so truncate to a plan leaf (the BFS pattern: the
+        # union of cache-chained plans would nest quadratically)
+        frontier, n_improved = _pin(improved, truncate=True)
         if n_improved == 0:
-            frontier.unpersist()
             break
-        visited, _ = _pin(
-            visited.union(frontier).groupBy("node").agg(
-                F.min("dist").alias("dist")),
-            truncate=True,
-        )
-    frontier.unpersist()  # last generation (no-op if truncated)
-    return visited
+        frontiers.append(frontier)
+    return visited_now()
 
 
+@_coalesced_kernel
 def label_propagation(
     edges: DataFrame,
     rounds: int = 4,
@@ -606,8 +686,11 @@ def label_propagation(
     one-job ``_pin`` (r4 Catalyst-stats fix), lineage truncating
     periodically + at exit (labels are single-reference state).
     """
-    sym = _ckpt_flat(_symmetrize(edges))
-    labels = _ckpt_flat(
+    # r6: sym is a lazily-persisted leaf materialized once inside the
+    # label pin job; initial labels pin with ONE job (4 static jobs →
+    # 1; guide §2.4)
+    sym = track(_symmetrize(edges))
+    labels, _ = _pin(
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
@@ -633,9 +716,15 @@ def label_propagation(
             )
             .select(F.col("nd").alias("node"), "label")
         )
-        trunc = (i == rounds - 1) or ((i + 1) % _TRUNCATE_EVERY == 0)
-        labels, _ = _pin(new_labels, prev=prev, truncate=trunc)
-        prev = None if trunc else labels
+        # single-reference state: pin every second round + at exit
+        # (see pagerank_int — same job-count halving, same shuffles)
+        last = i == rounds - 1
+        if last or i % 2 == 1:
+            trunc = last or ((i + 1) % _TRUNCATE_EVERY == 0)
+            labels, _ = _pin(new_labels, prev=prev, truncate=trunc)
+            prev = None if trunc else labels
+        else:
+            labels = new_labels
     return labels
 
 
@@ -673,6 +762,7 @@ def summarize_graph(edges: DataFrame) -> DataFrame:
     )
 
 
+@_coalesced_kernel
 def modularity(
     edges: DataFrame,
     labels: DataFrame,
@@ -710,8 +800,10 @@ def modularity(
     Scale shape: two hash joins (labels onto edge endpoints) + three
     full aggregations — one pass over the edge list, no iteration.
     """
+    # r6: lazily-persisted leaf — the w_total scalar aggregate right
+    # below materializes it (one job instead of the old sandwich's two)
     if weight is None:
-        sym = _ckpt_flat(
+        sym = track(
             _symmetrize(edges).withColumn("w", F.lit(1).cast("long")))
     else:
         d = edges.select(
@@ -719,7 +811,7 @@ def modularity(
             F.col("b").cast("long").alias("b"),
             F.col(weight).cast("long").alias("w"),
         ).filter("a <> b")
-        sym = _ckpt_flat(
+        sym = track(
             d.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
             .union(d.select(F.col("b").alias("src"),
                             F.col("a").alias("dst"), "w"))
@@ -727,6 +819,13 @@ def modularity(
             .agg(F.sum("w").alias("w"))
         )
     w_total = sym.agg(F.sum("w")).collect()[0][0]
+    # int64-exactness bound (ADVICE r5): dd_sum <= W^2 needs W within
+    # int64 sqrt range — fail loudly instead of wrapping silently
+    if w_total and w_total > 3_037_000_499:
+        raise ValueError(
+            f"modularity: total directed weight {w_total} exceeds the "
+            "int64-exact bound 3_037_000_499 (dd_sum = Σ S_c² would "
+            "overflow); recompute in DECIMAL(38) before using this")
     spark = edges.sparkSession
     if not w_total:
         return spark.createDataFrame(
@@ -810,11 +909,11 @@ def link_prediction(
         .filter("a <> b")
         .distinct()
     )
-    e = _ckpt_flat(e)
+    e, _ = _pin(e)  # r6: one-job stats pins (no loop, no lineage growth)
     sym = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
         e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
-    deg = _ckpt_flat(
+    deg, _ = _pin(
         sym.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
     )
     centers = deg.filter(F.col("deg") <= max_center_degree).select(
@@ -923,6 +1022,79 @@ def _edge_support(e: DataFrame) -> tuple[DataFrame, list]:
     return supp, [deg, oriented]
 
 
+def _triangle_rows(e: DataFrame) -> tuple[DataFrame, list]:
+    """All triangles of a canonical (a<b, distinct) edge set as SORTED
+    vertex triples ``(x, y, z)`` with x < y < z — enumerated once via
+    the same degree-oriented wedge join as ``triangle_counts``.
+    Returns ``(tri_df, temps)``; the caller must unpersist ``temps``
+    after materializing anything derived from ``tri_df``."""
+    deg, _ = _pin(
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("degb"))
+    oriented, _ = _pin(
+        e.join(da, "a").join(db, "b")
+        .select(
+            F.when(
+                (F.col("dega") < F.col("degb"))
+                | ((F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+            )
+            .otherwise(F.struct(F.col("b").alias("src"), F.col("a").alias("dst")))
+            .alias("o")
+        )
+        .select("o.src", "o.dst")
+    )
+    e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    e2 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    closer = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = (
+        e1.join(e2, "u")
+        .filter(F.col("v") < F.col("w"))
+        .join(
+            closer.select("v", "w").union(
+                closer.select(F.col("w").alias("v"), F.col("v").alias("w"))
+            ),
+            ["v", "w"],
+            "leftsemi",
+        )
+        .select(F.array_sort(F.array("u", "v", "w")).alias("t"))
+        .select(
+            F.col("t")[0].alias("x"),
+            F.col("t")[1].alias("y"),
+            F.col("t")[2].alias("z"),
+        )
+    )
+    return tri, [deg, oriented]
+
+
+def _support_from_triangles(live: DataFrame, tri: DataFrame) -> DataFrame:
+    """(a, b, support) for every edge of ``live``, counting the
+    triangles of ``tri`` (which must be exactly the triangles inside
+    ``live``)."""
+    tri_edges = (
+        tri.select(F.explode(F.array(
+            F.struct(F.col("x").alias("a"), F.col("y").alias("b")),
+            F.struct(F.col("x").alias("a"), F.col("z").alias("b")),
+            F.struct(F.col("y").alias("a"), F.col("z").alias("b")),
+        )).alias("e"))
+        .select("e.a", "e.b")
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        live.join(tri_edges, ["a", "b"], "left")
+        .select(
+            "a", "b",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("support"),
+        )
+    )
+
+
 def ktruss(
     edges: DataFrame,
     k: int,
@@ -943,43 +1115,62 @@ def ktruss(
     ``(a, b, support)`` for surviving canonical edges with support
     measured ON the final edge set.
 
-    Scale shape per round: one degree-oriented triangle enumeration
-    (wedge join bounded by oriented out-degree) + one left join +
-    filter over a monotonically shrinking edge set; state pinned via
-    ``_pin`` (one count job), lineage truncated every
-    ``_TRUNCATE_EVERY`` rounds.
+    r6 incremental-support shape (r5 VERDICT #4): the degree-oriented
+    wedge enumeration runs ONCE, on the initial edge set; afterwards
+    the triangle LIST is maintained instead of re-derived — a triangle
+    survives a peel round iff all three of its edges do (triangles of
+    a subgraph are the subset of the supergraph's triangles fully
+    inside it, so the maintained list stays exactly the live set's
+    triangle set — the synchronous-peel invariant is unchanged).
+    Per-round cost drops from a full wedge join (Σ oriented-outdeg²)
+    to three semi-joins over the shrinking triangle list plus one
+    explode/count — the deleted edges' neighborhoods, not the graph.
+    State pinned via ``_pin(truncate=True)`` every round (live is
+    referenced by three semi-joins, tri by two consumers).
     """
-    live = _ckpt_flat(
+    live, n_prev = _pin(
         edges.select(
             F.least(F.col("a").cast("long"), F.col("b").cast("long")).alias("a"),
             F.greatest(F.col("a").cast("long"), F.col("b").cast("long")).alias("b"),
         )
         .filter("a <> b")
-        .distinct()
+        .distinct(),
+        truncate=True,
     )
-    n_prev = live.count()
+    tri, temps = _triangle_rows(live)
+    tri, _ = _pin(tri, truncate=True)
+    for t in temps:
+        t.unpersist()
     rounds = 0
     while n_prev > 0:
-        supp, temps = _edge_support(live)
-        nxt = supp.filter(F.col("support") >= k - 2).select("a", "b")
+        nxt = (
+            _support_from_triangles(live, tri)
+            .filter(F.col("support") >= k - 2)
+            .select("a", "b")
+        )
         rounds += 1
-        # truncate EVERY round: the support plan references `live`
-        # ~15x (see _pin docstring) — cache-chaining here is C^r
-        # plan growth and a driver OOM by round ~5
-        live, n_now = _pin(nxt, truncate=True)
-        for t in temps:
-            t.unpersist()
-        if n_now == n_prev or (max_rounds is not None and rounds >= max_rounds):
+        new_live, n_now = _pin(nxt, truncate=True)
+        deleted = n_now != n_prev
+        live = new_live
+        if deleted:
+            lv = live.select(F.col("a").alias("la"), F.col("b").alias("lb"))
+            tri, _ = _pin(
+                tri.join(lv, (F.col("x") == F.col("la"))
+                         & (F.col("y") == F.col("lb")), "semi")
+                .join(lv, (F.col("x") == F.col("la"))
+                      & (F.col("z") == F.col("lb")), "semi")
+                .join(lv, (F.col("y") == F.col("la"))
+                      & (F.col("z") == F.col("lb")), "semi"),
+                truncate=True,
+            )
+        if (not deleted) or (max_rounds is not None and rounds >= max_rounds):
             n_prev = n_now
             break
         n_prev = n_now
-    supp, temps = _edge_support(live)
-    out = supp.localCheckpoint(eager=True)
-    for t in temps:
-        t.unpersist()
-    return out
+    return _support_from_triangles(live, tri).localCheckpoint(eager=True)
 
 
+@_coalesced_kernel
 def kcore(
     edges: DataFrame,
     k: int,
@@ -1005,10 +1196,8 @@ def kcore(
     per round — see the fan-out rule in ``_pin``).  Rounds needed is
     the degeneracy-peel depth — O(log n) on real-world graphs.
     """
-    live = _symmetrize(edges).localCheckpoint(eager=True)
-    n_prev = live.count()
+    live, n_prev = _pin(_symmetrize(edges), truncate=True)
     rounds = 0
-    prev = None
     while n_prev > 0:
         deg = live.groupBy(F.col("src").alias("node")).agg(
             F.count("*").alias("degree")
