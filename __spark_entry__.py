@@ -42,6 +42,7 @@ from aisafetyintervention_literatureextraction_spark.operators.reassembly import
 from aisafetyintervention_literatureextraction_spark.operators.similarity import (
     cosine,
     cosine_pairs_exact,
+    cosine_with_norms,
     ivf_topk,
     lsh_topk,
 )
@@ -354,15 +355,26 @@ def q_dedup_embedding_cosine(spark, sf_dir):
 def q_sim_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k (rank/ids only; scores quantized for
     cross-engine rank stability)."""
+    from aisafetyintervention_literatureextraction_spark.operators.similarity import (
+        cosine_with_norms,
+        norm_expr,
+    )
+
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 4).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"),
+        norm_expr(F.col("embedding")).alias("q_norm"),
     )
+    # per-row precomputed clamped norms (r6): identical double chain
+    # to cosine() — the norm was re-evaluated per (query, corpus) pair
     scored = F.broadcast(q).crossJoin(
-        e.select(F.col("vec_id"), F.col("embedding").alias("c_vec"))
+        e.select(F.col("vec_id"), F.col("embedding").alias("c_vec"),
+                 norm_expr(F.col("embedding")).alias("c_norm"))
     ).select(
         "query_id", "vec_id",
-        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 3).alias("sim3"),
+        F.round(cosine_with_norms(F.col("q_vec"), F.col("c_vec"),
+                                  F.col("q_norm"), F.col("c_norm")),
+                3).alias("sim3"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim3"), F.asc("vec_id"))
     return (
@@ -593,7 +605,8 @@ def q_sim_lsh_topk(spark, sf_dir):
     )
     out = lsh_topk(
         e, q, k=5, bands=32, bits=2,
-        score_expr=lambda a, b: F.round(cosine(a, b), 3),
+        score_with_norms=lambda a, b, na, nb: F.round(
+            cosine_with_norms(a, b, na, nb), 3),
     )
     return out.select("query_id", "rank", "vec_id")
 
@@ -659,7 +672,8 @@ def q_sim_ivf_topk(spark, sf_dir):
     cb = train_ivf_centroids(e.orderBy("vec_id").limit(512), n_cells=8)
     out = ivf_topk(
         e, q, k=5, n_cells=8, n_probe=8, centroids=cb,
-        score_expr=lambda a, b: F.round(cosine(a, b), 3),
+        score_with_norms=lambda a, b, na, nb: F.round(
+            cosine_with_norms(a, b, na, nb), 3),
     )
     return out.select("query_id", "rank", "vec_id")
 

@@ -60,6 +60,23 @@ def cosine(a, b) -> F.Column:
     )
 
 
+def norm_expr(a) -> F.Column:
+    """``greatest(norm(a), 1e-12)`` — the clamped norm factor of
+    :func:`cosine`, exposed so callers can precompute it ONCE per row
+    (r6): in a top-k scan each query row's norm was re-evaluated per
+    corpus row and vice versa; materializing the factor as a column
+    and dividing by the product reproduces cosine()'s exact double
+    arithmetic (same sqrt, same clamp, same multiply) at a third of
+    the interpreted-lambda work."""
+    return F.greatest(_norm(a), F.lit(1e-12))
+
+
+def cosine_with_norms(a, b, na, nb) -> F.Column:
+    """cosine() with both clamped norm factors precomputed — value-
+    identical (identical expression tree below the division)."""
+    return _dot(a, b) / (na * nb)
+
+
 def _cosine_batch_fn(a: pd.Series, b: pd.Series) -> pd.Series:
     import numpy as np
 
@@ -158,30 +175,39 @@ def lsh_topk(
     bits: int = 8,
     dim: int = 64,
     score_expr=None,
+    score_with_norms=None,
 ) -> DataFrame:
     """Approximate top-k: sign-LSH bucket join then exact re-rank of
     candidates. Recall grows with bands; cost with bits⁻¹. Signature
     computation and candidate scoring are both Arrow/numpy batch ops
     (``dim`` kept for API compatibility; the true dim is inferred from
-    the data)."""
+    the data).  ``score_with_norms(q_vec, c_vec, q_norm, c_norm)``
+    re-ranks against per-row precomputed clamped norms (r6 — see
+    :func:`norm_expr`); mutually exclusive with ``score_expr``."""
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    if score_with_norms is not None:
+        c = c.withColumn("c_norm", norm_expr(F.col("c_vec")))
+        q = q.withColumn("q_norm", norm_expr(F.col("q_vec")))
     cb = c.select(
-        "vec_id", "c_vec",
+        "*",
         F.posexplode(sign_band_buckets(F.col("c_vec"), bands, bits)).alias("band", "bucket"),
     )
     qb = q.select(
-        "query_id", "q_vec",
+        "*",
         F.posexplode(sign_band_buckets(F.col("q_vec"), bands, bits)).alias("band", "bucket"),
     )
-    score = score_expr or cosine_fast  # injectable re-rank scorer (e.g.
-    # quantized column-expr cosine for cross-engine rank parity)
+    if score_with_norms is not None:
+        score_col = score_with_norms(
+            F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm"))
+    else:
+        score = score_expr or cosine_fast  # injectable re-rank scorer (e.g.
+        # quantized column-expr cosine for cross-engine rank parity)
+        score_col = score(F.col("q_vec"), F.col("c_vec"))
     cand = (
         qb.join(cb, ["band", "bucket"])
         .dropDuplicates(["query_id", "vec_id"])
-        .select(
-            "query_id", "vec_id", score(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim")
-        )
+        .select("query_id", "vec_id", score_col.alias("cosine_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -431,6 +457,7 @@ def ivf_topk(
     centroids=None,
     score_expr=None,
     n_assign: int = 1,
+    score_with_norms=None,
 ) -> DataFrame:
     """Approximate top-k via IVF cells: corpus rows live in their
     ``n_assign`` nearest cells; each query probes its ``n_probe``
@@ -454,21 +481,31 @@ def ivf_topk(
     # the codebook (n_cells × dim float64) ships inside the UDF closure
     # — kilobytes; broadcast only pays off for very large codebooks
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    if score_with_norms is not None:
+        # per-row precomputed clamped norms (r6, see norm_expr):
+        # value-identical re-rank at a third of the interpreted work
+        c = c.withColumn("c_norm", norm_expr(F.col("c_vec")))
+        q = q.withColumn("q_norm", norm_expr(F.col("q_vec")))
     cb = c.select(
-        "vec_id", "c_vec",
+        "*",
         F.explode(
             _nearest_cells(F.col("c_vec"), centroids, n_assign)
         ).alias("cell"),
     )
-    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     qb = q.select(
-        "query_id", "q_vec",
+        "*",
         F.explode(_nearest_cells(F.col("q_vec"), centroids, min(n_probe, n_cells))).alias("cell"),
     )
-    score = score_expr or cosine_fast
+    if score_with_norms is not None:
+        score_col = score_with_norms(
+            F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm"))
+    else:
+        score = score_expr or cosine_fast
+        score_col = score(F.col("q_vec"), F.col("c_vec"))
     cand = (
         qb.join(cb, "cell")
-        .select("query_id", "vec_id", score(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"))
+        .select("query_id", "vec_id", score_col.alias("cosine_sim"))
     )
     if n_assign > 1:
         # a (query, vec) pair reachable through several probed cells

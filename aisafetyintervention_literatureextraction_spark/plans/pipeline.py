@@ -538,16 +538,18 @@ def stage_e_analytics(cat: Catalog, cfg: PipelineConfig):
     )
     for t in temps:
         t.unpersist()
+    # partition-quality scalar for the run record: exact-integer
+    # Newman Q of the LPA communities (one row — a driver-side
+    # collect of a single aggregate, not data rows).  Computed BEFORE
+    # mark_processed (ADVICE r5): a modularity failure must not leave
+    # the stage committed as processed with no metrics row.
+    q = modularity(
+        edges, comm.select("node", F.col("community").alias("label"))
+    ).collect()[0]["modularity"]
     ckpt.mark_processed(
         cat, "E_analytics", run_id,
         cat.spark.createDataFrame([("__all__",)], "conv_id string"),
     )
-    # partition-quality scalar for the run record: exact-integer
-    # Newman Q of the LPA communities (one row — a driver-side
-    # collect of a single aggregate, not data rows)
-    q = modularity(
-        edges, comm.select("node", F.col("community").alias("label"))
-    ).collect()[0]["modularity"]
     ckpt.write_metrics(cat, "E_analytics", run_id, {
         "n_nodes_scored": cat.read("kg_node_metrics").count(),
         "n_edges_scored": cat.read("kg_edge_metrics").count(),

@@ -64,6 +64,12 @@ def main() -> None:
         release_caches,
     )
 
+    def _host():
+        with open("/proc/stat") as f:
+            v = [int(x) for x in f.readline().split()[1:]]
+        return v[7], sum(v)
+
+    h0 = _host()
     qs = em.queries()
     names = [n for n in args.queries.split(",") if n] or sorted(em.oracle_sql())
     spark = build_session()
@@ -99,8 +105,10 @@ def main() -> None:
             print(json.dumps({name: out[name]}), flush=True)
     finally:
         spark.stop()
+    h1 = _host()
+    steal = round(100.0 * (h1[0] - h0[0]) / max(h1[1] - h0[1], 1), 3)
     print(json.dumps({"sf_dir": args.sf_dir, "cpus": CPUS, "noop": args.noop,
-                      "results": out}))
+                      "steal_pct": steal, "results": out}))
 
 
 if __name__ == "__main__":

@@ -187,3 +187,50 @@ def test_winnow_duplicate_pairs(spark):
     assert (
         winnow_duplicate_pairs(bdf, min_shared=2, max_bucket_size=2).count() == 0
     )
+
+
+def test_verify_modes_agree(spark, monkeypatch):
+    """r6: the adaptive exact-Jaccard verify core must be
+    representation-independent — strings, sparse int dictionary, and
+    dense bitset modes return byte-identical (a_id, b_id, jaccard)
+    rows on a mixed corpus (unicode text, short docs, empty-ish doc,
+    candidate pairs both above and below the threshold)."""
+    from pyspark.sql import functions as F
+
+    from aisafetyintervention_literatureextraction_spark.functions.text import (
+        char_shingles,
+    )
+    from aisafetyintervention_literatureextraction_spark.operators import dedup
+
+    base = "möglichst ähnliche dokumente für die prüfung der mengen"
+    rows = [
+        (0, base),
+        (1, base + "!"),
+        (2, base.replace("ähnliche", "gleiche")),
+        (3, "short"),
+        (4, "sh"),
+        (5, "a totally different english sentence with other words"),
+        (6, base),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    feat = docs.select(
+        "doc_id", char_shingles(F.col("text"), 4).alias("toks"))
+    cand = (
+        docs.select(F.col("doc_id").alias("a_id"))
+        .crossJoin(docs.select(F.col("doc_id").alias("b_id")))
+        .filter(F.col("a_id") < F.col("b_id"))
+    )
+
+    def run(mode):
+        out = dedup._verify_exact_jaccard(cand, feat, 0.6, mode=mode)
+        return sorted(map(tuple, out.collect()))
+
+    got_strings = run("strings")
+    got_bitset = run("dict")  # tiny vocab -> bitset path
+    monkeypatch.setattr(dedup, "_BITSET_MAX_VOCAB", 1)
+    got_sparse = run("dict")  # vocab over the gate -> sparse int path
+    monkeypatch.setattr(dedup, "_DICT_MIN_CANDIDATES", 1)
+    got_auto = run("auto")    # auto -> dict (candidates >= gate)
+    assert got_strings == got_bitset == got_sparse == got_auto
+    assert got_strings, "fixture must produce at least one verified pair"
+    assert all(j >= 0.6 for _, _, j in got_strings)
