@@ -906,14 +906,15 @@ def q_graph_ppr(spark, sf_dir):
     to seeds, rank == proximity — integer-exact, oracle unrolls the
     seeded recurrence in BIGINT SQL."""
     e = _copurchase_edges(spark, sf_dir)
-    nodes = (
-        e.select(F.col("a").alias("node"))
-        .union(e.select(F.col("b").alias("node")))
+    # seed set {node % 17 == 3}: filter BEFORE the distinct (r6) — the
+    # union-distinct over the full endpoint multiset only to keep 1/17
+    # of it was pure shuffle waste; the resulting node SET is identical
+    seeds = (
+        e.select(F.col("a").alias("node")).filter(F.col("node") % 17 == 3)
+        .union(e.select(F.col("b").alias("node")).filter(F.col("node") % 17 == 3))
         .distinct()
     )
-    return personalized_pagerank(
-        e, nodes.filter(F.col("node") % 17 == 3), iterations=5
-    )
+    return personalized_pagerank(e, seeds, iterations=5)
 
 
 def q_graph_sssp(spark, sf_dir):
@@ -923,14 +924,13 @@ def q_graph_sssp(spark, sf_dir):
     count, min-combined across parallel edges.  Integer-exact min-plus
     recurrence; oracle unrolls full relaxation round-for-round."""
     e = _copurchase_edges(spark, sf_dir, weighted=True)
-    nodes = (
-        e.select(F.col("a").alias("node"))
-        .union(e.select(F.col("b").alias("node")))
+    # seed filter before the distinct — same rationale as q_graph_ppr
+    seeds = (
+        e.select(F.col("a").alias("node")).filter(F.col("node") % 17 == 3)
+        .union(e.select(F.col("b").alias("node")).filter(F.col("node") % 17 == 3))
         .distinct()
     )
-    return sssp_weighted(
-        e, nodes.filter(F.col("node") % 17 == 3), max_rounds=6, weight="w"
-    )
+    return sssp_weighted(e, seeds, max_rounds=6, weight="w")
 
 
 def q_graph_link_prediction(spark, sf_dir):
@@ -948,12 +948,12 @@ def q_graph_khop(spark, sf_dir):
     """Frontier BFS: min-hop distance (cap 3) from the deterministic
     seed set {node % 17 == 3}; oracle is a recursive CTE."""
     e = _copurchase_edges(spark, sf_dir)
-    nodes = (
-        e.select(F.col("a").alias("node"))
-        .union(e.select(F.col("b").alias("node")))
+    # seed filter before the distinct — same rationale as q_graph_ppr
+    seeds = (
+        e.select(F.col("a").alias("node")).filter(F.col("node") % 17 == 3)
+        .union(e.select(F.col("b").alias("node")).filter(F.col("node") % 17 == 3))
         .distinct()
     )
-    seeds = nodes.filter(F.col("node") % 17 == 3)
     return bfs_khop(e, seeds, max_hops=3).select(
         "node", F.col("dist").cast("int").alias("dist")
     )

@@ -91,6 +91,13 @@ def _adaptive_coalesce(df: DataFrame):
     them of cores.  The session conf is restored on exit; the
     caller's returned lazy plan executes under the caller's own
     setting."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_KERNEL_COALESCE", "on") == "off":
+        # deployment escape hatch (and A/B knob): leave the session's
+        # coalescing setting untouched
+        yield
+        return
     spark = df.sparkSession
     key = "spark.sql.adaptive.coalescePartitions.enabled"
     try:
@@ -360,12 +367,16 @@ def personalized_pagerank(
         sym.join(outdeg, sym.src == outdeg.node)
         .select("src", "dst", "outdeg")
     )
-    vertices, _ = _pin(
-        struct.select(F.col("src").alias("node")).distinct())
+    # vertices stay LAZY over the cached struct: they are consumed
+    # once, by the final zero-fill join (r6 — the eager pin was a
+    # whole job for a relation the last join materializes anyway);
+    # the seed membership semi-join probes struct.src directly, which
+    # is the same membership set without the distinct
+    vertices = struct.select(F.col("src").alias("node")).distinct()
     seed_v, s = _pin(
         seeds.select(F.col("node").cast("long").alias("node"))
         .distinct()
-        .join(vertices, "node", "semi")
+        .join(struct.select(F.col("src").alias("node")), "node", "semi")
     )
     if s == 0:
         return vertices.select(
